@@ -1,0 +1,65 @@
+"""Pinned pipeline configuration.
+
+The dup-pair-recall metric in BASELINE.json is defined *at a fixed
+shingle/signature/band config*, so every knob lives in one frozen dataclass
+whose hash is stamped into each stage manifest (plans/pipeline.py) — a config
+change invalidates downstream checkpoints.
+
+Analog in the reference: the merge-policy lists in
+/root/reference/src/settings.py:49-86 are its only "config"; here the config
+additionally pins the near-dup front end the north rule adds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- text / shingling -------------------------------------------------
+    shingle_k: int = 3                 # word shingles of k tokens
+    # --- MinHash ----------------------------------------------------------
+    num_perm: int = 128                # signature length = bands * rows
+    bands: int = 16
+    rows: int = 8
+    minhash_prime: int = 2147483647    # Mersenne 2^31-1; see functions/hashing.py
+    seed: int = 42
+    # --- verification -----------------------------------------------------
+    jaccard_threshold: float = 0.70    # estimated-Jaccard acceptance for LSH pairs
+    # --- LSH pair generation ----------------------------------------------
+    # 'star': connect every bucket member to the bucket-min doc_id (B-1 edges
+    #   per bucket — no quadratic blowup, the only plan that survives hot
+    #   boilerplate buckets at 10^12 docs).
+    # 'all_pairs': full intra-bucket pair enumeration, capped per bucket —
+    #   exactness reference for small-scale tests.
+    pair_mode: str = "star"
+    bucket_cap: int = 512              # all_pairs mode: max bucket size enumerated
+    # --- SimHash ----------------------------------------------------------
+    simhash_bits: int = 64
+    hamming_k: int = 3                 # accept pairs with Hamming distance <= k
+    simhash_chunk_cap: int = 100_000   # per-chunk-key join-size guard (counted, never silent)
+    # --- suffix-array substring pass ---------------------------------------
+    substr_min_len: int = 48           # chars of shared substring to count as dup
+    substr_partitions: int = 0         # 0 = use spark.sql.shuffle.partitions
+    # --- consolidation ----------------------------------------------------
+    min_group_size: int = 2            # singletons pass through untouched
+                                       # (/root/reference/src/main.py:93-95)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows != self.num_perm:
+            raise ValueError(
+                f"bands*rows ({self.bands}*{self.rows}) must equal num_perm ({self.num_perm})"
+            )
+        if self.pair_mode not in ("star", "all_pairs"):
+            raise ValueError(f"unknown pair_mode {self.pair_mode!r}")
+
+    def config_hash(self) -> str:
+        """Stable hash stamped into stage manifests for resume validation."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode("utf-8")
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

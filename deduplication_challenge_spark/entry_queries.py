@@ -1,0 +1,585 @@
+"""Operator-coverage queries + DuckDB oracle SQL for the driver contract.
+
+Each entry maps to rows of the SURVEY.md §2 inventory (noted per query).
+Column-aliasing rule: every computed column is aliased IDENTICALLY in the
+Spark plan and the oracle SQL (the driver hashes values after sorting
+columns by name). Floats are rounded explicitly where summation order could
+differ between engines.
+
+Queries without an oracle entry (signatures, LSH clustering, CC,
+consolidation) are non-SQL-expressible; the driver records a rows-only
+check for them (documented in __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup family over documents  (SURVEY §2.4 A12/A13; north-rule operators)
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups — hash-groupBy on text (A12 analog, S1 scan)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("canonical_doc_id"))
+        .where(F.col("group_size") >= 2)
+    )
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate (A13 count-distinct probes)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+        )
+    )
+
+
+def q_exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical row per text group: min doc_id survives, group key kept
+    (A5 min-id survivor + A12 group consolidation)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_members"),
+        F.min("lang").alias("lang_min"),
+    ).select("doc_id", "n_members", "lang_min", F.md5("text").alias("text_hash"))
+
+
+def q_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of duplicate-group sizes (helper-style exploration,
+    /root/reference/src/helper.py:113-132 analog)."""
+    d = _t(spark, sf_dir, "documents")
+    sizes = d.groupBy("text").agg(F.count("*").alias("group_size"))
+    return sizes.groupBy("group_size").agg(F.count("*").alias("n_groups"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs >= 0.8 (SQL-expressible variant of
+    the MinHash path — north-rule dedup operator with exact Jaccard)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"),
+    ).where(F.size("toks") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(
+                    "\x1f",
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                    F.element_at(F.col("toks"), i + 3),
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.withColumnRenamed("doc_id", "doc_id_a")
+    b = grams.withColumnRenamed("doc_id", "doc_id_b")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (north-rule training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char stats per doc."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).alias("n_digit_chars"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/alpha/digit/space ratios (deterministic
+    integer counts + rounded ratios)."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    space = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        F.round(alpha / n, 4).alias("alpha_ratio"),
+        F.round(digit / n, 4).alias("digit_ratio"),
+        F.round(space / n, 4).alias("space_ratio"),
+        ((alpha / n > 0.6) & (n > 100)).cast("int").alias("passes_quality"),
+    )
+
+
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-occurrence scores (SQL-portable
+    occurrence counting via length arithmetic)."""
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def occ(word: str):
+        pat = f" {word} "
+        return (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))) / len(pat)
+
+    en = (occ("the") + occ("and") + occ("of") + occ("to")).cast("long")
+    de = (occ("der") + occ("und") + occ("die") + occ("das")).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        en.alias("en_score"),
+        de.alias("de_score"),
+        F.when(en > de, F.lit("en")).when(de > en, F.lit("de")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        F.max(F.length("text")).alias("max_chars"),
+    )
+
+
+def q_longest_doc_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-by-length per group (A6 lengthiest-value policy as a window —
+    O1/O3 sorts/top-k)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.length("text").desc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", "doc_id", F.length("text").alias("n_chars_actual"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms via JVM-side higher-order functions (no UDF)."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select("vec_id", "label", F.round(F.sqrt(sq), 3).alias("l2_norm"))
+
+
+def q_label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean of the first 4 embedding dims (vector agg, explode-free)."""
+    e = _t(spark, sf_dir, "embeddings")
+    sel = e.select(
+        "label",
+        *[F.element_at("embedding", i + 1).cast("double").alias(f"d{i}") for i in range(4)],
+    )
+    return sel.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        *[F.round(F.avg(f"d{i}"), 4).alias(f"mean_d{i}") for i in range(4)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational coverage over TPC-H-ish tables (SURVEY §2.2/2.3/2.4/2.5)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate (P filters + A partial/final hash agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (J broadcast join, O4 top-k)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+             F.count("*").alias("n_orders"))
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where((F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way dim join + rollup (J1 hash-lookup joins, U table ops)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"))
+    )
+
+
+def q_supplier_part_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (O1 sort-within-group)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+def q_events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window lag + conditional agg over the events table (stream-shaped
+    batch analytics)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    lagged = e.withColumn("prev_ts", F.lag("ts").over(w))
+    return (
+        lagged.withColumn(
+            "new_session",
+            (F.col("prev_ts").isNull()
+             | (F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                > 1800 * 1_000_000)).cast("int"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("new_session").alias("n_sessions"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.min("value"), 3).alias("min_value"),
+        F.round(F.max("value"), 3).alias("max_value"),
+    )
+
+
+def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (U3 set difference)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only checks): signatures + full pipeline
+# ---------------------------------------------------------------------------
+
+def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduplication_challenge_spark.config import DedupConfig
+    from deduplication_challenge_spark.operators.signatures import compute_signatures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = compute_signatures(d, DedupConfig())
+    return sigs.select("doc_id", "n_shingles", "simhash")
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduplication_challenge_spark.config import DedupConfig
+    from deduplication_challenge_spark.operators import lsh, simhash as sh
+    from deduplication_challenge_spark.operators.connected_components import connected_components
+    from deduplication_challenge_spark.operators.signatures import compute_signatures
+    from deduplication_challenge_spark.operators.verify import verify_pairs
+
+    cfg = DedupConfig()
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = compute_signatures(d, cfg).localCheckpoint()
+    pairs, _ = lsh.candidate_pairs(lsh.band_table(sigs), cfg)
+    ver = verify_pairs(pairs, sigs, cfg).select("src", "dst")
+    sim, _ = sh.hamming_pairs(sigs, cfg)
+    return connected_components(ver.unionByName(sim).distinct())
+
+
+def q_canonical_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from deduplication_challenge_spark.config import DedupConfig
+    from deduplication_challenge_spark.plans.pipeline import DedupPipeline
+    from deduplication_challenge_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    pipe = DedupPipeline(
+        spark, DedupConfig(), tempfile.mkdtemp(prefix="dedup_q_"),
+        include_substring=False,
+    )
+    canonical, _ = pipe.run(pages, input_desc=sf_dir)
+    return canonical.select("cluster_id", "doc_id", "url", "lang", "n_members")
+
+
+QUERIES = {
+    "exact_dup_groups": q_exact_dup_groups,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
+    "exact_dedup_canonical": q_exact_dedup_canonical,
+    "group_size_histogram": q_group_size_histogram,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id_heuristic": q_lang_id_heuristic,
+    "lang_distribution": q_lang_distribution,
+    "longest_doc_per_lang": q_longest_doc_per_lang,
+    "embedding_norms": q_embedding_norms,
+    "label_centroid_dims": q_label_centroid_dims,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "order_priority_counts": q_order_priority_counts,
+    "region_nation_rollup": q_region_nation_rollup,
+    "supplier_part_topk": q_supplier_part_topk,
+    "events_user_sessions": q_events_user_sessions,
+    "event_type_stats": q_event_type_stats,
+    "orders_without_lineitems": q_orders_without_lineitems,
+    "signatures": q_signatures,
+    "near_dup_clusters": q_near_dup_clusters,
+    "canonical_records": q_canonical_records,
+}
+
+
+ORACLE_SQL = {
+    "exact_dup_groups": """
+        SELECT md5(text) AS text_hash,
+               count(*) AS group_size,
+               min(doc_id) AS canonical_doc_id
+        FROM documents
+        WHERE length(trim(text)) > 0
+        GROUP BY md5(text)
+        HAVING count(*) >= 2
+    """,
+    "dedup_rate_by_source": """
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT text) AS n_distinct_texts
+        FROM documents GROUP BY source
+    """,
+    "exact_dedup_canonical": """
+        SELECT min(doc_id) AS doc_id,
+               count(*) AS n_members,
+               min(lang) AS lang_min,
+               md5(text) AS text_hash
+        FROM documents GROUP BY text
+    """,
+    "group_size_histogram": """
+        SELECT group_size, count(*) AS n_groups FROM (
+            SELECT count(*) AS group_size FROM documents GROUP BY text
+        ) GROUP BY group_size
+    """,
+    "ngram_jaccard_pairs": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])) AS gram
+            FROM toks
+            WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_inter
+            FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_id_a, doc_id_b,
+               round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+        WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.8
+    """,
+    "token_stats": """
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+               length(text) AS n_chars_actual,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit_chars
+        FROM documents
+    """,
+    "quality_scores": """
+        SELECT doc_id,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+               round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text), 4) AS digit_ratio,
+               round((length(text) - length(replace(text, ' ', ''))) * 1.0 / length(text), 4) AS space_ratio,
+               CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) > 0.6
+                         AND length(text) > 100 THEN 1 ELSE 0 END AS passes_quality
+        FROM documents WHERE length(text) > 0
+    """,
+    "lang_id_heuristic": """
+        WITH p AS (
+            SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                   CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
+                      + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+                      + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+                      + (length(padded) - length(replace(padded, ' to ', ''))) / 4 AS BIGINT) AS en_score,
+                   CAST((length(padded) - length(replace(padded, ' der ', ''))) / 5
+                      + (length(padded) - length(replace(padded, ' und ', ''))) / 5
+                      + (length(padded) - length(replace(padded, ' die ', ''))) / 5
+                      + (length(padded) - length(replace(padded, ' das ', ''))) / 5 AS BIGINT) AS de_score
+            FROM p
+        )
+        SELECT doc_id, lang, en_score, de_score,
+               CASE WHEN en_score > de_score THEN 'en'
+                    WHEN de_score > en_score THEN 'de'
+                    ELSE 'unknown' END AS lang_guess
+        FROM s
+    """,
+    "lang_distribution": """
+        SELECT lang, count(*) AS n_docs,
+               round(avg(length(text)), 2) AS avg_chars,
+               max(length(text)) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    "longest_doc_per_lang": """
+        SELECT lang, doc_id, n_chars_actual FROM (
+            SELECT lang, doc_id, length(text) AS n_chars_actual,
+                   row_number() OVER (PARTITION BY lang ORDER BY length(text) DESC, doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    "embedding_norms": """
+        SELECT vec_id, label,
+               round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2_norm
+        FROM embeddings
+    """,
+    "label_centroid_dims": """
+        SELECT label, count(*) AS n_vecs,
+               round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS mean_d0,
+               round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS mean_d1,
+               round(avg(CAST(embedding[3] AS DOUBLE)), 4) AS mean_d2,
+               round(avg(CAST(embedding[4] AS DOUBLE)), 4) AS mean_d3
+        FROM embeddings GROUP BY label
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT c_custkey, c_name,
+               round(sum(o_totalprice), 2) AS total_spent,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY total_spent DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    "order_priority_counts": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+        GROUP BY o_orderpriority
+    """,
+    "region_nation_rollup": """
+        SELECT r_name, n_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "supplier_part_topk": """
+        SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+            FROM part
+        ) WHERE rn <= 3
+    """,
+    "events_user_sessions": """
+        WITH lagged AS (
+            SELECT user_id, value, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               sum(CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+               round(sum(value), 3) AS total_value
+        FROM lagged GROUP BY user_id
+    """,
+    "event_type_stats": """
+        SELECT event_type, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(min(value), 3) AS min_value,
+               round(max(value), 3) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "orders_without_lineitems": """
+        SELECT o_orderstatus, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem)
+        GROUP BY o_orderstatus
+    """,
+}

@@ -1,0 +1,127 @@
+"""Per-cluster consolidation into one enriched canonical record.
+
+This is the reference's core contract — "consolidate duplicate product
+entries into a single, enriched record per product, ensuring uniqueness
+while maximizing the available information" (/root/reference/README.md:3-4),
+merge loop at /root/reference/src/main.py:21-73 — re-expressed for web pages
+per the north_star: longest text, earliest warc_ts, merged lang/url
+metadata, provenance details.
+
+Pinned election semantics (deterministic — SURVEY.md §7.5; every tie-break
+is a total order on doc_id so results are identical across partitionings):
+  * cluster_id       = component min doc_id
+  * doc_id           = min(doc_id)            (survivor = min id,
+                        /root/reference/src/controller.py:230-235)
+  * text, url        = of the member with (longest text, tie: min doc_id)
+                        (lengthiest-value policy,
+                        /root/reference/src/controller.py:237-244)
+  * warc_ts          = min(warc_ts)           (earliest observation)
+  * lang             = most frequent, tie: lexicographic (deterministic
+                        relaxation of the reference's order-dependent
+                        frequency election, SURVEY.md §4.3.3)
+  * langs            = sorted distinct langs  (completing policy,
+                        /root/reference/src/controller.py:322-332)
+  * member_urls      = sorted member urls     (provenance,
+                        /root/reference/src/controller.py:145-154)
+  * n_members, details(JSON field->value->urls,
+                        /root/reference/src/controller.py:134-168)
+
+Physical plan: clusters with >= 2 members go through
+``groupBy(cluster_id).applyInPandas`` (north_star mandate); singletons — the
+overwhelming majority at web scale — take a pure-JVM projection building the
+identical schema, so they never pay the Python/Arrow round trip (mirrors the
+reference's ">= 2 members only" rule, /root/reference/src/main.py:93-95).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CANONICAL_SCHEMA = (
+    "cluster_id long, doc_id long, url string, warc_ts timestamp, text string, "
+    "lang string, langs array<string>, member_urls array<string>, "
+    "n_members long, details string"
+)
+
+
+def consolidate_cluster_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Consolidation kernel for ONE cluster (shared with the pytest oracle —
+    same bytes by construction)."""
+    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    cluster_id = int(pdf["cluster_id"].iloc[0])
+    # longest text, tie -> min doc_id (stable sort preserves doc_id order)
+    text_lens = pdf["text"].fillna("").str.len()
+    winner = text_lens.idxmax()  # first occurrence of the max wins
+    lang_counts = pdf["lang"].value_counts()
+    top = lang_counts[lang_counts == lang_counts.max()]
+    lang = sorted(top.index)[0]
+    details = {
+        "lang": {
+            str(v): sorted(pdf.loc[pdf["lang"] == v, "url"])
+            for v in pdf["lang"].dropna().unique()
+        }
+    }
+    return pd.DataFrame(
+        {
+            "cluster_id": [cluster_id],
+            "doc_id": [int(pdf["doc_id"].min())],
+            "url": [pdf["url"].iloc[winner]],
+            "warc_ts": [pdf["warc_ts"].min()],
+            "text": [pdf["text"].iloc[winner]],
+            "lang": [lang],
+            "langs": [sorted(pdf["lang"].dropna().unique())],
+            "member_urls": [sorted(pdf["url"])],
+            "n_members": [len(pdf)],
+            "details": [json.dumps(details, sort_keys=True, separators=(",", ":"))],
+        }
+    )
+
+
+def attach_clusters(docs: DataFrame, assignments: DataFrame) -> DataFrame:
+    """Left-join CC assignments; unclustered docs become their own cluster
+    (singleton passthrough)."""
+    return docs.join(assignments, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+
+
+def consolidate(docs_with_cluster: DataFrame, min_group_size: int = 2) -> DataFrame:
+    """(doc_id, url, warc_ts, text, lang, cluster_id) -> canonical table."""
+    # Cluster sizing via aggregate + shuffle join on cluster_id: the join
+    # reuses the same hash partitioning the applyInPandas groupBy needs, so
+    # AQE collapses the exchanges; a window count would be equivalent but
+    # hides the reuse.
+    sizes = docs_with_cluster.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    dc = docs_with_cluster.join(sizes, "cluster_id")
+
+    multi = dc.where(F.col("n_members") >= min_group_size)
+    single = dc.where(F.col("n_members") < min_group_size)
+
+    consolidated = (
+        multi.select("cluster_id", "doc_id", "url", "warc_ts", "text", "lang")
+        .groupBy("cluster_id")
+        .applyInPandas(lambda pdf: consolidate_cluster_pdf(pdf), schema=CANONICAL_SCHEMA)
+    )
+    passthrough = single.select(
+        "cluster_id",
+        "doc_id",
+        "url",
+        "warc_ts",
+        "text",
+        "lang",
+        F.array("lang").alias("langs"),
+        F.array("url").alias("member_urls"),
+        F.lit(1).cast("long").alias("n_members"),
+        # compact JSON identical to the kernel's json.dumps(...,
+        # separators=(",", ":"), sort_keys=True) for the one-member case
+        F.to_json(
+            F.create_map(
+                F.lit("lang"), F.create_map(F.col("lang"), F.array(F.col("url")))
+            )
+        ).alias("details"),
+    )
+    return consolidated.unionByName(passthrough)

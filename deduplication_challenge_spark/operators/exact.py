@@ -1,0 +1,49 @@
+"""Exact deduplication: hash-groupBy on content.
+
+The closest direct analog of the reference's pipeline (group on exact
+product_identifier, /root/reference/src/main.py:76-97) applied to text
+content: rows with byte-identical text form a duplicate group. Entirely
+JVM-side (sha2 + hash aggregate inside whole-stage codegen) — no UDF, one
+shuffle. Also exposed as edges so exact groups can feed the same CC +
+consolidation path as near-dup candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) -> (text_hash, group_size, canonical_doc_id).
+
+    Empty/whitespace-only text never groups (analog of the reference's
+    skip of empty identifiers, /root/reference/src/main.py:85-89).
+    """
+    return (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.sha2(F.col("text"), 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("group_size") >= 2)
+    )
+
+
+def exact_dup_edges(docs: DataFrame) -> DataFrame:
+    """Star edges (group-min doc_id -> member) per exact-dup group; same
+    linear-output shape as operators/lsh.py so boilerplate-heavy exact
+    groups can never blow up quadratically."""
+    hashed = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        F.sha2(F.col("text"), 256).alias("text_hash"), "doc_id"
+    )
+    mins = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("src"), F.count("*").alias("group_size")
+    )
+    return (
+        hashed.join(mins.where(F.col("group_size") >= 2), "text_hash")
+        .where(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+    )

@@ -1,0 +1,241 @@
+"""End-to-end dedup pipeline with per-stage checkpointing, lineage manifests
+and counters (north rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+Resume model (SURVEY.md §7.6 — batch re-entrancy, not Structured Streaming):
+every stage materializes ``{workdir}/{stage}/`` as parquet plus a
+``manifest.json`` carrying the stage fingerprint = sha256(config_hash,
+stage name, upstream fingerprint, input descriptor). On rerun, a stage whose
+manifest fingerprint matches is SKIPPED and its table reused; the first
+stage whose fingerprint differs (config change, new input, deleted table)
+re-executes and invalidates everything downstream. Counters (docs scanned,
+signatures emitted, pairs verified, clusters merged — names fixed by the
+north_star) are persisted in each manifest.
+
+The catalog layer is plain parquet + JSON manifests because this sandbox has
+no Iceberg runtime jar (SURVEY.md §7.0); on a real cluster the writer swaps
+to ``df.writeTo('catalog.db.t').append()`` with the manifest fields mapping
+onto Iceberg snapshot metadata — an environment swap, not a redesign.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deduplication_challenge_spark.config import DedupConfig
+from deduplication_challenge_spark.operators import exact, lsh, simhash, suffixarray, verify
+from deduplication_challenge_spark.operators.connected_components import connected_components
+from deduplication_challenge_spark.operators.consolidate import attach_clusters, consolidate
+from deduplication_challenge_spark.operators.ingest import extract_pages
+from deduplication_challenge_spark.operators.signatures import compute_signatures
+
+STAGES = ["ingest", "signatures", "candidates", "verify", "cc", "consolidate"]
+
+
+@dataclass
+class StageInfo:
+    name: str
+    path: str
+    rows: int
+    seconds: float
+    skipped: bool
+    counters: dict = field(default_factory=dict)
+
+
+@dataclass
+class RunReport:
+    stages: dict[str, StageInfo] = field(default_factory=dict)
+
+    @property
+    def counters(self) -> dict:
+        out: dict = {}
+        for s in self.stages.values():
+            out.update(s.counters)
+        return out
+
+    def to_dict(self) -> dict:
+        return {
+            name: {
+                "rows": s.rows,
+                "seconds": round(s.seconds, 3),
+                "skipped": s.skipped,
+                "counters": s.counters,
+            }
+            for name, s in self.stages.items()
+        }
+
+
+class DedupPipeline:
+    """Orchestrates ingest -> signatures -> candidates -> verify -> cc ->
+    consolidate with resume-from-manifest."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig,
+        workdir: str,
+        include_substring: bool = True,
+        substring_partitions: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.cfg = cfg
+        self.workdir = workdir
+        self.include_substring = include_substring
+        self.substring_partitions = substring_partitions
+        os.makedirs(workdir, exist_ok=True)
+
+    # --- manifest plumbing -------------------------------------------------
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.workdir, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.workdir, f"{stage}.manifest.json")
+
+    def _fingerprint(self, stage: str, upstream_fp: str, input_desc: str) -> str:
+        payload = "|".join([self.cfg.config_hash(), stage, upstream_fp, input_desc])
+        return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+    def _load_manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # corrupted manifest (e.g. killed mid-write) -> rebuild the stage
+            return None
+
+    def _run_stage(
+        self,
+        report: RunReport,
+        stage: str,
+        upstream_fp: str,
+        input_desc: str,
+        build: "callable",
+        counters_fn: "callable | None" = None,
+    ) -> tuple[DataFrame, str]:
+        """Build-or-reuse one stage table; returns (df, fingerprint)."""
+        fp = self._fingerprint(stage, upstream_fp, input_desc)
+        path = self._stage_dir(stage)
+        manifest = self._load_manifest(stage)
+        if manifest and manifest.get("fingerprint") == fp and os.path.exists(path):
+            df = self.spark.read.parquet(path)
+            report.stages[stage] = StageInfo(
+                stage, path, manifest["rows"], 0.0, True, manifest.get("counters", {})
+            )
+            return df, fp
+        t0 = time.monotonic()
+        df = build()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        rows = out.count()  # parquet metadata count — no full scan
+        seconds = time.monotonic() - t0
+        counters = counters_fn(out, rows) if counters_fn else {}
+        # per-partition lineage: file-level row counts from the parquet footers
+        files = [
+            {"file": os.path.basename(fi), "bytes": os.path.getsize(os.path.join(path, fi))}
+            for fi in sorted(os.listdir(path))
+            if fi.endswith(".parquet")
+        ]
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "fingerprint": fp,
+                    "config_hash": self.cfg.config_hash(),
+                    "upstream": upstream_fp,
+                    "input": input_desc,
+                    "rows": rows,
+                    "seconds": round(seconds, 3),
+                    "counters": counters,
+                    "partitions": files,
+                },
+                f,
+                indent=2,
+            )
+        report.stages[stage] = StageInfo(stage, path, rows, seconds, False, counters)
+        return out, fp
+
+    # --- the pipeline -------------------------------------------------------
+    def run(self, pages: DataFrame, input_desc: str = "pages") -> tuple[DataFrame, RunReport]:
+        cfg = self.cfg
+        report = RunReport()
+
+        docs, fp = self._run_stage(
+            report, "ingest", "", input_desc,
+            lambda: extract_pages(pages),
+            lambda df, rows: {"docs_scanned": rows},
+        )
+
+        sigs, fp = self._run_stage(
+            report, "signatures", fp, "docs",
+            lambda: compute_signatures(docs, cfg),
+            lambda df, rows: {"signatures_emitted": rows},
+        )
+
+        def build_candidates() -> DataFrame:
+            bands = lsh.band_table(sigs)
+            lsh_edges, lsh_stats = lsh.candidate_pairs(bands, cfg)
+            sim_edges, sim_stats = simhash.hamming_pairs(sigs, cfg)
+            exact_edges = exact.exact_dup_edges(docs)
+            self._aux_stats = {
+                **{f"lsh_{k}": v for k, v in lsh_stats.collect()[0].asDict().items()},
+                **{f"simhash_{k}": v for k, v in sim_stats.collect()[0].asDict().items()},
+            }
+            lsh_tagged = lsh_edges.select("src", "dst", F.lit("lsh").alias("origin"))
+            sim_tagged = sim_edges.select("src", "dst", F.lit("simhash").alias("origin"))
+            ex_tagged = exact_edges.select("src", "dst", F.lit("exact").alias("origin"))
+            parts = [lsh_tagged, sim_tagged, ex_tagged]
+            if self.include_substring:
+                sub = suffixarray.substring_pairs(docs, cfg, self.substring_partitions)
+                parts.append(sub.select("src", "dst", F.lit("substring").alias("origin")))
+            allp = parts[0]
+            for p in parts[1:]:
+                allp = allp.unionByName(p)
+            return allp
+
+        self._aux_stats: dict = {}
+        candidates, fp = self._run_stage(
+            report, "candidates", fp,
+            f"substring={self.include_substring}:{self.substring_partitions}",
+            build_candidates,
+            lambda df, rows: {"pairs_candidates": rows, **self._aux_stats},
+        )
+
+        def build_verified() -> DataFrame:
+            # only LSH candidates need Jaccard verification; exact/substring
+            # pairs are verified by construction, simhash by Hamming check
+            lsh_pairs = candidates.where(F.col("origin") == "lsh").select("src", "dst")
+            other = candidates.where(F.col("origin") != "lsh").select("src", "dst")
+            ver = verify.verify_pairs(lsh_pairs, sigs, cfg).select("src", "dst")
+            return ver.unionByName(other).distinct()
+
+        verified, fp = self._run_stage(
+            report, "verify", fp, "pairs",
+            build_verified,
+            lambda df, rows: {"pairs_verified": rows},
+        )
+
+        assignments, fp = self._run_stage(
+            report, "cc", fp, "edges",
+            lambda: connected_components(verified.select("src", "dst")),
+            lambda df, rows: {"nodes_clustered": rows},
+        )
+
+        canonical, fp = self._run_stage(
+            report, "consolidate", fp, "canonical",
+            lambda: consolidate(attach_clusters(docs, assignments), cfg.min_group_size),
+            lambda df, rows: {
+                "canonical_records": rows,
+                "clusters_merged": df.where(F.col("n_members") >= 2).count(),
+            },
+        )
+        return canonical, report

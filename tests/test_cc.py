@@ -1,0 +1,56 @@
+"""Connected-components operator tests vs a trivial union-find oracle."""
+
+import pytest
+
+from deduplication_challenge_spark.oracle import UnionFind
+from deduplication_challenge_spark.operators.connected_components import connected_components
+
+
+def _spark_cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+
+
+def _oracle_cc(edges):
+    uf = UnionFind()
+    nodes = set()
+    for s, d in edges:
+        uf.union(s, d)
+        nodes.update((s, d))
+    return {n: uf.find(n) for n in nodes}
+
+
+CASES = [
+    pytest.param([(1, 2)], id="single-edge"),
+    pytest.param([(1, 2), (2, 3), (3, 4), (4, 5)], id="chain"),
+    pytest.param([(10, 1), (10, 2), (10, 3)], id="star"),
+    pytest.param([(1, 2), (3, 4), (5, 6), (2, 3)], id="merge-components"),
+    pytest.param([(7, 7), (1, 2)], id="self-loop-ignored"),
+    pytest.param([(2, 1), (1, 2), (2, 1)], id="duplicates-and-reversed"),
+    pytest.param(
+        [(i, i + 1) for i in range(1, 30)] + [(100, 200), (200, 300)],
+        id="long-chain-plus-component",
+    ),
+]
+
+
+@pytest.mark.parametrize("edges", CASES)
+def test_cc_matches_union_find(spark, edges):
+    got = _spark_cc(spark, edges)
+    want = _oracle_cc([e for e in edges if e[0] != e[1]])
+    assert got == want
+
+
+def test_cluster_label_is_component_min(spark):
+    got = _spark_cc(spark, [(5, 9), (9, 3), (3, 11)])
+    assert set(got.values()) == {3}
+    assert set(got.keys()) == {3, 5, 9, 11}
+
+
+def test_negative_ids(spark):
+    """doc_id = xxhash64(url) is frequently negative — labels must still be
+    the component min."""
+    got = _spark_cc(spark, [(-5, 2), (2, 7)])
+    assert got == {-5: -5, 2: -5, 7: -5}

@@ -1,0 +1,168 @@
+"""Spark pipeline integration tests against the pure-Python oracle — the
+analog of the reference's golden integration layer
+(/root/reference/src/tests/test_integration.py): exact cluster assignments,
+exact canonical records, dup-pair recall, resume semantics."""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+
+import pytest
+
+from deduplication_challenge_spark.config import DedupConfig
+from deduplication_challenge_spark.oracle import xxhash64_str
+from deduplication_challenge_spark.plans.pipeline import DedupPipeline
+from deduplication_challenge_spark.sources.synth import corpus_to_spark
+
+
+def _pairs(assign: dict) -> set:
+    groups = defaultdict(list)
+    for k, c in assign.items():
+        groups[c].append(k)
+    return {
+        tuple(sorted((a, b)))
+        for mem in groups.values()
+        for i, a in enumerate(mem)
+        for b in mem[i + 1 :]
+    }
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, cfg, micro_corpus, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("pipe"))
+    pages, golden = corpus_to_spark(spark, micro_corpus)
+    pipe = DedupPipeline(spark, cfg, workdir, include_substring=True, substring_partitions=1)
+    canonical, report = pipe.run(pages, input_desc="micro60")
+    return {
+        "workdir": workdir,
+        "pages": pages,
+        "canonical": canonical.collect(),
+        "report": report,
+        "pipe": pipe,
+    }
+
+
+class TestPipelineVsOracle:
+    def test_cluster_assignments_identical(self, pipeline_run, micro_corpus, micro_oracle):
+        url_by_id = {xxhash64_str(p["url"]): p["url"] for p in micro_corpus.rows}
+        oracle_assign = {url_by_id[d]: c for d, c in micro_oracle.assignments.items()}
+        spark_assign = {
+            u: r["cluster_id"] for r in pipeline_run["canonical"] for u in r["member_urls"]
+        }
+        assert spark_assign == oracle_assign
+
+    def test_dup_pair_recall_ge_099(self, pipeline_run, micro_corpus, micro_oracle):
+        """The BASELINE.json gate: recall >= 0.99 at the pinned config."""
+        url_by_id = {xxhash64_str(p["url"]): p["url"] for p in micro_corpus.rows}
+        oracle_pairs = _pairs({url_by_id[d]: c for d, c in micro_oracle.assignments.items()})
+        spark_pairs = _pairs(
+            {u: r["cluster_id"] for r in pipeline_run["canonical"] for u in r["member_urls"]}
+        )
+        recall = len(oracle_pairs & spark_pairs) / max(len(oracle_pairs), 1)
+        assert recall >= 0.99
+        # and no invented pairs either at micro scale
+        assert spark_pairs == oracle_pairs
+
+    def test_canonical_records_identical(self, pipeline_run, micro_oracle):
+        oc = micro_oracle.canonical.sort_values("cluster_id").reset_index(drop=True)
+        sc = sorted(pipeline_run["canonical"], key=lambda r: r["cluster_id"])
+        assert len(sc) == len(oc)
+        for row, (_, orc) in zip(sc, oc.iterrows()):
+            assert row["doc_id"] == orc["doc_id"]
+            assert row["text"] == orc["text"]
+            assert row["lang"] == orc["lang"]
+            assert row["url"] == orc["url"]
+            assert list(row["member_urls"]) == list(orc["member_urls"])
+            assert list(row["langs"]) == list(orc["langs"])
+            assert row["n_members"] == orc["n_members"]
+            assert row["details"] == orc["details"]
+
+    def test_planted_duplicates_recalled(self, pipeline_run, micro_corpus):
+        """Planted same-cluster url pairs must co-cluster (ground truth)."""
+        golden_assign = {g["url"]: g["cluster_id"] for g in micro_corpus.golden}
+        planted = _pairs(golden_assign)
+        spark_pairs = _pairs(
+            {u: r["cluster_id"] for r in pipeline_run["canonical"] for u in r["member_urls"]}
+        )
+        recall = len(planted & spark_pairs) / max(len(planted), 1)
+        assert recall >= 0.99
+
+    def test_counters_present(self, pipeline_run):
+        counters = pipeline_run["report"].counters
+        for key in ("docs_scanned", "signatures_emitted", "pairs_verified", "clusters_merged"):
+            assert key in counters, key
+        assert counters["docs_scanned"] == 60
+        assert counters["signatures_emitted"] == 60
+
+    def test_uniqueness_contract(self, pipeline_run):
+        """One record per cluster; members partition the input
+        (the reference's uniqueness guarantee, /root/reference/README.md:4)."""
+        rows = pipeline_run["canonical"]
+        cluster_ids = [r["cluster_id"] for r in rows]
+        assert len(cluster_ids) == len(set(cluster_ids))
+        all_members = [u for r in rows for u in r["member_urls"]]
+        assert len(all_members) == 60
+        assert len(set(all_members)) == 60
+
+    def test_singleton_passthrough(self, pipeline_run, micro_oracle):
+        """Singleton clusters keep their row verbatim
+        (/root/reference/src/main.py:94-95 analog)."""
+        docs = micro_oracle.docs.set_index("doc_id")
+        for r in pipeline_run["canonical"]:
+            if r["n_members"] == 1:
+                src = docs.loc[r["doc_id"]]
+                assert r["text"] == src["text"]
+                assert r["url"] == src["url"]
+                assert r["lang"] == src["lang"]
+
+
+class TestResume:
+    def test_rerun_skips_all_stages(self, pipeline_run, spark, cfg):
+        canonical2, report2 = pipeline_run["pipe"].run(
+            pipeline_run["pages"], input_desc="micro60"
+        )
+        assert all(s.skipped for s in report2.stages.values())
+        assert sorted(r["cluster_id"] for r in canonical2.collect()) == sorted(
+            r["cluster_id"] for r in pipeline_run["canonical"]
+        )
+
+    def test_config_change_invalidates(self, pipeline_run, spark):
+        cfg2 = DedupConfig(jaccard_threshold=0.9)
+        pipe2 = DedupPipeline(
+            spark, cfg2, pipeline_run["workdir"], include_substring=True, substring_partitions=1
+        )
+        _, report2 = pipe2.run(pipeline_run["pages"], input_desc="micro60")
+        assert not report2.stages["verify"].skipped
+
+    def test_mid_pipeline_resume(self, pipeline_run, spark, cfg, micro_corpus):
+        """Delete a downstream stage -> rerun redoes only that suffix."""
+        import shutil, os
+
+        wd = pipeline_run["workdir"]
+        # restore original-config manifests first (previous test overwrote them)
+        pages, _ = corpus_to_spark(spark, micro_corpus)
+        pipe = DedupPipeline(spark, cfg, wd, include_substring=True, substring_partitions=1)
+        pipe.run(pages, input_desc="micro60")
+        os.remove(os.path.join(wd, "cc.manifest.json"))
+        shutil.rmtree(os.path.join(wd, "cc"), ignore_errors=True)
+        canonical3, report3 = pipe.run(pages, input_desc="micro60")
+        assert report3.stages["ingest"].skipped
+        assert report3.stages["signatures"].skipped
+        assert report3.stages["candidates"].skipped
+        assert report3.stages["verify"].skipped
+        assert not report3.stages["cc"].skipped
+        assert sorted(r["cluster_id"] for r in canonical3.collect()) == sorted(
+            r["cluster_id"] for r in pipeline_run["canonical"]
+        )
+
+    def test_manifest_contents(self, pipeline_run):
+        import os
+
+        wd = pipeline_run["workdir"]
+        with open(os.path.join(wd, "signatures.manifest.json")) as f:
+            m = json.load(f)
+        assert m["stage"] == "signatures"
+        assert m["rows"] == 60
+        assert m["config_hash"] == DedupConfig().config_hash()
+        assert m["partitions"], "per-partition lineage missing"
