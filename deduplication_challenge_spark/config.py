@@ -40,7 +40,7 @@ class DedupConfig:
     # --- SimHash ----------------------------------------------------------
     simhash_bits: int = 64
     hamming_k: int = 3                 # accept pairs with Hamming distance <= k
-    simhash_chunk_cap: int = 100_000   # per-chunk-key join-size guard (counted, never silent)
+    simhash_window: int = 8            # permute-and-sort neighbor window (Manku WWW'07)
     # --- suffix-array substring pass ---------------------------------------
     substr_min_len: int = 48           # chars of shared substring to count as dup
     substr_partitions: int = 0         # 0 = use spark.sql.shuffle.partitions

@@ -203,6 +203,36 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", F.round(F.sqrt(sq), 3).alias("l2_norm"))
 
 
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 10 vectors (similarity-search
+    baseline; JVM-side zip_with/aggregate dot products)."""
+    from deduplication_challenge_spark.operators.similarity import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = e.where(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(e, queries_df, k=3)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-3 (rows-only check: bucketing is hash-based,
+    not SQL-expressible)."""
+    from deduplication_challenge_spark.operators.similarity import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = e.where(F.col("vec_id") < 10)
+    return cosine_topk_lsh(e, queries_df, k=3, n_planes=8, seed=42)
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint cardinality per doc (rows-only)."""
+    from deduplication_challenge_spark.config import DedupConfig
+    from deduplication_challenge_spark.operators.signatures import compute_signatures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = compute_signatures(d, DedupConfig())
+    return sigs.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+
+
 def q_label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean of the first 4 embedding dims (vector agg, explode-free)."""
     e = _t(spark, sf_dir, "embeddings")
@@ -386,6 +416,9 @@ QUERIES = {
     "longest_doc_per_lang": q_longest_doc_per_lang,
     "embedding_norms": q_embedding_norms,
     "label_centroid_dims": q_label_centroid_dims,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "doc_fingerprints": q_doc_fingerprints,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "order_priority_counts": q_order_priority_counts,
@@ -507,6 +540,25 @@ ORACLE_SQL = {
         SELECT vec_id, label,
                round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2_norm
         FROM embeddings
+    """,
+    "ann_topk_bruteforce": """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   round(
+                     list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) AS cosine
+            FROM embeddings e
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+            WHERE e.vec_id <> q.vec_id
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 3
     """,
     "label_centroid_dims": """
         SELECT label, count(*) AS n_vecs,

@@ -38,7 +38,14 @@ def extract_pages(pages: DataFrame, *, recompute_text: bool = True) -> DataFrame
     never reads ``html``, which is the scale-correct plan when text is
     already extracted upstream).
     """
-    text_col = extract_text_udf(F.col("html")) if recompute_text else F.col("text")
+    # rows without raw html (already-extracted upstream) trust the shipped
+    # text column; extraction runs only where html bytes exist
+    text_col = (
+        F.when(F.col("html").isNull(), F.col("text"))
+        .otherwise(extract_text_udf(F.col("html")))
+        if recompute_text
+        else F.col("text")
+    )
     # null policy (pinned): text and lang normalize to '' — downstream map
     # keys (details provenance) and shingle kernels require non-null values,
     # matching the reference's empty-vs-null canonicalization

@@ -1,0 +1,129 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing — schema, Arrow batch shape, partition sizing, UDF
+signatures — is real and tested; the actual codec work is STUBBED behind
+deterministic byte-level fakes (this container ships no image/audio libs;
+swap `_decode_image_bytes` etc. for Pillow/torchaudio/pyav on a real
+cluster — the DataFrame contract does not change).
+
+Design rules for binary columns at scale:
+  * payloads stay opaque bytes end-to-end; metadata lives in a sibling
+    struct so filters/pruning never touch the blob column
+    (`assets.where(col('meta.width') > 512)` reads only the meta column);
+  * decode/feature steps are mapInPandas (Arrow-batched) with
+    maxRecordsPerBatch sized so batch_bytes ~ batch_rows * avg_blob stays
+    inside executor memory;
+  * features come back as fixed-width array<float> ready for
+    operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+import pyspark.sql.types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "asset_id long, kind string, ok boolean, n_bytes long, byte_entropy double, "
+    "features array<float>"
+)
+
+_REAL_CODECS = False  # flipped when real decode libs are wired in
+
+
+def _decode_image_bytes(payload: bytes) -> np.ndarray:
+    """STUB decode. Real impl: PIL.Image.open(BytesIO(payload)) -> ndarray.
+    Deterministic fake: interpret bytes as a uint8 stream (keeps every
+    downstream shape/contract real)."""
+    if _REAL_CODECS:
+        raise NotImplementedError("wire Pillow here")
+    return np.frombuffer(payload or b"", dtype=np.uint8)
+
+
+def _feature_vector(arr: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Deterministic feature extraction over the decoded stream: a
+    normalized 16-bin histogram — a real numpy computation standing in for
+    an embedding model, with the exact output contract (fixed-width float32)."""
+    if arr.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    return (hist / arr.size).astype(np.float32)
+
+
+def decode_and_featurize(assets: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """assets -> (asset_id, kind, ok, n_bytes, byte_entropy, features).
+
+    One Arrow pass; payload bytes never cross into the driver.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "asset_id": pdf["asset_id"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "ok": np.zeros(n, dtype=bool),
+                "n_bytes": np.zeros(n, dtype=np.int64),
+                "byte_entropy": np.zeros(n, dtype=np.float64),
+                "features": [None] * n,
+            }
+            for i, payload in enumerate(pdf["payload"].tolist()):
+                try:
+                    arr = _decode_image_bytes(payload)
+                except NotImplementedError:
+                    arr = np.empty(0, dtype=np.uint8)
+                out["n_bytes"][i] = 0 if payload is None else len(payload)
+                out["ok"][i] = arr.size > 0
+                if arr.size:
+                    counts = np.bincount(arr, minlength=256)
+                    p = counts[counts > 0] / arr.size
+                    out["byte_entropy"][i] = float(-(p * np.log2(p)).sum())
+                out["features"][i] = _feature_vector(arr, feature_dim)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        gen, schema=DECODED_SCHEMA
+    )
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: pure-JVM expansion of (asset, duration) into
+    (asset_id, frame_ts_ms) rows — the decode of each frame is the stubbed
+    step; the partition-explosion math (rows = duration/every_ms) is the part
+    that matters for cluster sizing and is real."""
+    return (
+        assets.where(F.col("kind") == "video")
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,312 @@
+"""Product-record consolidation: the reference's full merge-policy engine,
+re-expressed as declarative Spark aggregations (no per-row Python).
+
+Reference semantics reproduced (SURVEY.md §2.4):
+  A1  global value frequencies            /root/reference/src/controller.py:94-101
+  A2  most-frequent election              /root/reference/src/controller.py:170-204
+  A4  least-frequent election             /root/reference/src/controller.py:206-228
+  A5  min-id survivor                     /root/reference/src/controller.py:230-235
+  A6  lengthiest-value election           /root/reference/src/controller.py:237-244
+  A7  completing (set-union)              /root/reference/src/controller.py:269-332
+  A8  keyed min/max interval aggregation  /root/reference/src/controller.py:404-450
+  A9  energy-efficiency intervals         /root/reference/src/controller.py:355-402
+  A10 color rollup                        /root/reference/src/controller.py:334-353
+  A11 details provenance                  /root/reference/src/controller.py:103-168
+  A12 group consolidation + passthrough   /root/reference/src/main.py:21-97
+  J3  url containing elected root_domain  /root/reference/src/controller.py:265
+
+Deliberate, documented relaxations (SURVEY.md §4.3.3 / §7.5):
+  * elections use GLOBAL frequencies with the deterministic tie-break
+    (frequency, then smallest id) instead of the reference's sequential
+    mutable counts (A3) — the reference's iteration order is Python
+    hash-seed dependent, so verbatim reproduction is impossible AND
+    nondeterministic; group membership is unaffected.
+  * merged page_url set is exposed as a ``source_urls`` array column rather
+    than a details entry (same information, relational shape).
+  * completing SCALARS (eco_friendly, manufacturing_year) widen to arrays in
+    the output — the reference does the same implicitly by storing sets.
+
+Everything is expressed as groupBy aggregations + explode/agg for nested
+fields: one shuffle per nested field family plus one for the main group —
+Catalyst handles partial aggregation; no UDF anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deduplication_challenge_spark.sources.products import (
+    COLOR_FIELD,
+    ENERGY_FIELD,
+    IDENTIFIER,
+    INTERVAL_FIELDS,
+    INVALID_IDENTIFIERS,
+    MERGE_BY_COMPLETING_ARRAYS,
+    MERGE_BY_LEAST_FREQUENT,
+    MERGE_BY_LENGTHIEST_VALUE,
+    MERGE_BY_MOST_FREQUENT,
+    PAGE_URL,
+)
+
+_SCALAR_ELECTED = (
+    MERGE_BY_MOST_FREQUENT + MERGE_BY_LEAST_FREQUENT + MERGE_BY_LENGTHIEST_VALUE
+)
+
+
+def _valid_identifier() -> Column:
+    c = F.col(IDENTIFIER)
+    cond = c.isNotNull()
+    for bad in INVALID_IDENTIFIERS:
+        cond = cond & (c != F.lit(bad))
+    return cond
+
+
+def attach_group_meta(products: DataFrame) -> DataFrame:
+    """Adds group_size (within identifier) and is_mergeable flags."""
+    sizes = (
+        products.where(_valid_identifier())
+        .groupBy(IDENTIFIER)
+        .agg(F.count("*").alias("group_size"))
+    )
+    out = products.join(sizes, IDENTIFIER, "left").withColumn(
+        "group_size", F.coalesce(F.col("group_size"), F.lit(1))
+    )
+    return out.withColumn(
+        "is_mergeable", _valid_identifier() & (F.col("group_size") >= 2)
+    )
+
+
+def global_frequencies(products: DataFrame, field: str) -> DataFrame:
+    """A1: whole-table value counts for one election field."""
+    return products.groupBy(F.col(field).alias("value")).agg(
+        F.count("*").alias(f"freq_{field}")
+    )
+
+
+def _with_frequencies(products: DataFrame) -> DataFrame:
+    """Broadcast-join the (small) per-field frequency tables back onto rows."""
+    out = products
+    for field in MERGE_BY_MOST_FREQUENT + MERGE_BY_LEAST_FREQUENT:
+        freqs = global_frequencies(products, field).withColumnRenamed("value", field)
+        out = out.join(F.broadcast(freqs), field, "left")
+    return out
+
+
+def _interval_agg(
+    products: DataFrame, field: str, keys: list[str], value_col: str, group_col: str
+) -> DataFrame:
+    """A8: explode one interval field, per (group, keys) compute min/max of
+    numeric values; literal (non-numeric) values survive only for keys with
+    no numeric value, one struct per distinct literal
+    (/root/reference/src/controller.py:404-450)."""
+    ex = (
+        products.select(F.col(group_col).alias("_g"), F.explode(field).alias("e"))
+        .select("_g", *[F.col(f"e.{k}").alias(k) for k in keys],
+                F.col(f"e.{value_col}").alias("_v"))
+    )
+    num = F.col("_v").cast("string").try_cast("double")
+    grouped = ex.groupBy("_g", *keys).agg(
+        F.min(num).alias("_min"),
+        F.max(num).alias("_max"),
+        F.array_sort(
+            F.collect_set(F.when(num.isNull() & F.col("_v").isNotNull(), F.col("_v").cast("string")))
+        ).alias("_lits"),
+    )
+    numeric = grouped.where(F.col("_min").isNotNull()).select(
+        "_g", *keys,
+        F.col("_min").cast("string").alias("min"),
+        F.col("_max").cast("string").alias("max"),
+    )
+    literal = (
+        grouped.where(F.col("_min").isNull())
+        .select("_g", *keys, F.explode("_lits").alias("_lit"))
+        .select("_g", *keys, F.col("_lit").alias("min"), F.col("_lit").alias("max"))
+    )
+    both = numeric.unionByName(literal)
+    return both.groupBy("_g").agg(
+        F.sort_array(F.collect_list(F.struct(*keys, "min", "max"))).alias(field)
+    )
+
+
+def _color_agg(products: DataFrame, group_col: str) -> DataFrame:
+    """A10: per original color, union of simple colors joined ', ' sorted."""
+    ex = products.select(F.col(group_col).alias("_g"), F.explode(COLOR_FIELD).alias("e"))
+    return (
+        ex.groupBy("_g", F.col("e.original").alias("original"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("e.simple")), ", ").alias("simple")
+        )
+        .groupBy("_g")
+        .agg(F.sort_array(F.collect_list(F.struct("original", "simple"))).alias(COLOR_FIELD))
+    )
+
+
+def _energy_agg(products: DataFrame, group_col: str) -> DataFrame:
+    """A9: per (qualitative, standard_label), min/max over all percentage
+    fields; -1.0 sentinel when no numeric present
+    (/root/reference/src/controller.py:355-402)."""
+    ex = products.select(F.col(group_col).alias("_g"), F.explode(ENERGY_FIELD).alias("e"))
+
+    def _pos(c: str) -> Column:
+        v = F.col(f"e.{c}")
+        return F.when(v >= 0, v)
+
+    per_key = ex.groupBy(
+        "_g",
+        F.col("e.qualitative").alias("qualitative"),
+        F.col("e.standard_label").alias("standard_label"),
+    ).agg(
+        F.least(
+            F.min(_pos("exact_percentage")),
+            F.min(_pos("max_percentage")),
+            F.min(_pos("min_percentage")),
+        ).alias("_mn"),
+        F.greatest(
+            F.max(_pos("exact_percentage")),
+            F.max(_pos("max_percentage")),
+            F.max(_pos("min_percentage")),
+        ).alias("_mx"),
+    )
+    return per_key.select(
+        "_g",
+        F.struct(
+            F.coalesce(F.col("_mn"), F.lit(-1.0)).alias("min_percentage"),
+            F.coalesce(F.col("_mx"), F.lit(-1.0)).alias("max_percentage"),
+            F.col("qualitative"),
+            F.col("standard_label"),
+        ).alias("s"),
+    ).groupBy("_g").agg(F.sort_array(F.collect_list("s")).alias(ENERGY_FIELD))
+
+
+def _details_agg(products: DataFrame) -> DataFrame:
+    """A11: provenance map field -> value(stringified) -> sorted page_urls,
+    serialized to compact JSON. Arrays/structs stringify via to_json (the
+    reference keys details by the whole normalized cell,
+    /root/reference/src/controller.py:103-118)."""
+    pairs = []
+    for f in _SCALAR_ELECTED:
+        pairs += [F.lit(f), F.col(f).cast("string")]
+    for f in MERGE_BY_COMPLETING_ARRAYS:
+        pairs += [F.lit(f), F.to_json(F.col(f))]
+    for f in ("eco_friendly", "manufacturing_year"):
+        pairs += [F.lit(f), F.col(f).cast("string")]
+    for f in list(INTERVAL_FIELDS) + [COLOR_FIELD, ENERGY_FIELD]:
+        pairs += [F.lit(f), F.to_json(F.col(f))]
+    entries = products.select(
+        IDENTIFIER, PAGE_URL, F.explode(F.create_map(*pairs)).alias("field", "value")
+    ).where(F.col("value").isNotNull())
+    per_value = entries.groupBy(IDENTIFIER, "field", "value").agg(
+        F.array_sort(F.collect_set(PAGE_URL)).alias("urls")
+    )
+    per_field = per_value.groupBy(IDENTIFIER, "field").agg(
+        # struct(value, urls) is orderable (string + array<string>), so the
+        # map's entry order — and hence to_json key order — is deterministic
+        F.map_from_entries(F.sort_array(F.collect_list(F.struct("value", "urls")))).alias("vmap")
+    )
+    # maps are not orderable in Spark, so the outer field->vmap level is
+    # assembled from sorted '"field":{...}' JSON fragments instead of
+    # sort_array over maps
+    fragments = per_field.select(
+        IDENTIFIER,
+        F.concat(F.lit('"'), F.col("field"), F.lit('":'), F.to_json("vmap")).alias("_frag"),
+    )
+    return fragments.groupBy(IDENTIFIER).agg(
+        F.concat(
+            F.lit("{"), F.concat_ws(",", F.array_sort(F.collect_list("_frag"))), F.lit("}")
+        ).alias("details")
+    )
+
+
+def consolidate_products(products: DataFrame) -> DataFrame:
+    """A12: one enriched canonical record per mergeable identifier group;
+    singleton / invalid-identifier rows pass through standardized
+    (/root/reference/src/main.py:76-97)."""
+    meta = attach_group_meta(products)
+    mergeable = _with_frequencies(meta.where(F.col("is_mergeable")))
+    passthrough = meta.where(~F.col("is_mergeable"))
+
+    # --- scalar elections + completing, one hash aggregate ---------------
+    aggs: list[Column] = [F.min("id").alias("id"), F.max("group_size").alias("group_size")]
+    for f in MERGE_BY_MOST_FREQUENT:
+        aggs.append(F.max_by(f, F.struct(F.col(f"freq_{f}"), -F.col("id"))).alias(f))
+    for f in MERGE_BY_LEAST_FREQUENT:
+        aggs.append(F.min_by(f, F.struct(F.col(f"freq_{f}"), F.col("id"))).alias(f))
+    for f in MERGE_BY_LENGTHIEST_VALUE:
+        aggs.append(
+            F.max_by(f, F.struct(F.length(F.coalesce(f, F.lit(""))), -F.col("id"))).alias(f)
+        )
+    for f in MERGE_BY_COMPLETING_ARRAYS:
+        aggs.append(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(F.coalesce(f, F.array()))))
+            ).alias(f)
+        )
+    aggs.append(F.array_sort(F.collect_set("eco_friendly")).alias("eco_friendly"))
+    aggs.append(F.array_sort(F.collect_set("manufacturing_year")).alias("manufacturing_year"))
+    aggs.append(
+        F.array_sort(F.collect_set(PAGE_URL)).alias("source_urls")
+    )
+    aggs.append(
+        F.sort_array(F.collect_list(F.struct("id", PAGE_URL))).alias("_urls_by_id")
+    )
+    merged = mergeable.groupBy(IDENTIFIER).agg(*aggs)
+    # J3: first (by id) url containing the elected root_domain
+    merged = merged.withColumn(
+        PAGE_URL,
+        F.filter(
+            F.col("_urls_by_id"),
+            lambda s: F.instr(s[PAGE_URL], F.coalesce(F.col("root_domain"), F.lit(""))) > 0,
+        )[0][PAGE_URL],
+    ).drop("_urls_by_id")
+
+    # --- nested-field aggregations, joined back on the group key ----------
+    for f, (keys, vcol) in INTERVAL_FIELDS.items():
+        merged = merged.join(
+            _interval_agg(mergeable, f, keys, vcol, IDENTIFIER)
+            .withColumnRenamed("_g", IDENTIFIER),
+            IDENTIFIER, "left",
+        )
+    merged = merged.join(
+        _color_agg(mergeable, IDENTIFIER).withColumnRenamed("_g", IDENTIFIER),
+        IDENTIFIER, "left",
+    )
+    merged = merged.join(
+        _energy_agg(mergeable, IDENTIFIER).withColumnRenamed("_g", IDENTIFIER),
+        IDENTIFIER, "left",
+    )
+    merged = merged.join(_details_agg(mergeable), IDENTIFIER, "left")
+
+    # --- passthrough rows: standardize nested fields per row (the reference
+    # standardizes EVERY output row, /root/reference/src/controller.py:505-526)
+    pt = passthrough
+    for f, (keys, vcol) in INTERVAL_FIELDS.items():
+        pt = pt.drop(f).join(
+            _interval_agg(passthrough, f, keys, vcol, "id").withColumnRenamed("_g", "id"),
+            "id", "left",
+        )
+    pt = pt.drop(COLOR_FIELD).join(
+        _color_agg(passthrough, "id").withColumnRenamed("_g", "id"), "id", "left"
+    )
+    pt = pt.drop(ENERGY_FIELD).join(
+        _energy_agg(passthrough, "id").withColumnRenamed("_g", "id"), "id", "left"
+    )
+    pt = pt.select(
+        IDENTIFIER, "id", F.lit(1).alias("group_size"),
+        *_SCALAR_ELECTED,
+        *MERGE_BY_COMPLETING_ARRAYS,
+        F.when(F.col("eco_friendly").isNotNull(), F.array("eco_friendly"))
+        .otherwise(F.array().cast("array<boolean>")).alias("eco_friendly"),
+        F.when(F.col("manufacturing_year").isNotNull(), F.array("manufacturing_year"))
+        .otherwise(F.array().cast("array<int>")).alias("manufacturing_year"),
+        F.array(PAGE_URL).alias("source_urls"),
+        F.col(PAGE_URL),
+        *INTERVAL_FIELDS,
+        COLOR_FIELD, ENERGY_FIELD,
+        F.lit(None).cast("string").alias("details"),
+    )
+    cols = pt.columns
+    return merged.withColumn("group_size", F.col("group_size").cast("int")) \
+                 .select(*cols).unionByName(pt)

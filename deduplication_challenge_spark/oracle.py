@@ -190,12 +190,21 @@ def run_oracle(
         if H.estimate_jaccard(res.signatures[src], res.signatures[dst]) >= cfg.jaccard_threshold:
             res.lsh_edges.add((src, dst))
 
-    # SimHash: all pairs with Hamming <= k (== pigeonhole chunk-join output)
-    ids = sorted(simhashes)
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            if H.hamming_distance(simhashes[ids[i]], simhashes[ids[j]]) <= cfg.hamming_k:
-                res.simhash_edges.add((ids[i], ids[j]))
+    # SimHash permute-and-sort (identical pinned rule to operators/simhash.py):
+    # per (chunk_idx, chunk_val) bucket, sort by (simhash, doc_id); compare
+    # each doc to its `simhash_window` predecessors; accept Hamming <= k.
+    n_chunks = cfg.hamming_k + 1
+    chunk_buckets: dict[tuple[int, int], list[tuple[int, int]]] = defaultdict(list)
+    for doc_id, sh_val in simhashes.items():
+        for idx, val in enumerate(H.hamming_chunks(sh_val, n_chunks)):
+            chunk_buckets[(idx, val)].append((sh_val, doc_id))
+    for members in chunk_buckets.values():
+        members.sort()
+        for j in range(1, len(members)):
+            for i in range(max(0, j - cfg.simhash_window), j):
+                if H.hamming_distance(members[i][0], members[j][0]) <= cfg.hamming_k:
+                    a, b = members[i][1], members[j][1]
+                    res.simhash_edges.add((min(a, b), max(a, b)))
 
     # substring pass: GLOBAL here (tests force Spark co-location to match)
     if include_substring:

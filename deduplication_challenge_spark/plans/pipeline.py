@@ -182,14 +182,13 @@ class DedupPipeline:
         )
 
         def build_candidates() -> DataFrame:
+            # stats frames are NOT collected here — extra driver-blocking
+            # jobs would serialize the stage; per-origin counters come from
+            # one cheap aggregate over the materialized table below
             bands = lsh.band_table(sigs)
-            lsh_edges, lsh_stats = lsh.candidate_pairs(bands, cfg)
-            sim_edges, sim_stats = simhash.hamming_pairs(sigs, cfg)
+            lsh_edges, _ = lsh.candidate_pairs(bands, cfg)
+            sim_edges, _ = simhash.hamming_pairs(sigs, cfg)
             exact_edges = exact.exact_dup_edges(docs)
-            self._aux_stats = {
-                **{f"lsh_{k}": v for k, v in lsh_stats.collect()[0].asDict().items()},
-                **{f"simhash_{k}": v for k, v in sim_stats.collect()[0].asDict().items()},
-            }
             lsh_tagged = lsh_edges.select("src", "dst", F.lit("lsh").alias("origin"))
             sim_tagged = sim_edges.select("src", "dst", F.lit("simhash").alias("origin"))
             ex_tagged = exact_edges.select("src", "dst", F.lit("exact").alias("origin"))
@@ -202,12 +201,18 @@ class DedupPipeline:
                 allp = allp.unionByName(p)
             return allp
 
-        self._aux_stats: dict = {}
+        def candidate_counters(df: DataFrame, rows: int) -> dict:
+            per_origin = {
+                f"pairs_{r['origin']}": r["n"]
+                for r in df.groupBy("origin").agg(F.count("*").alias("n")).collect()
+            }
+            return {"pairs_candidates": rows, **per_origin}
+
         candidates, fp = self._run_stage(
             report, "candidates", fp,
             f"substring={self.include_substring}:{self.substring_partitions}",
             build_candidates,
-            lambda df, rows: {"pairs_candidates": rows, **self._aux_stats},
+            candidate_counters,
         )
 
         def build_verified() -> DataFrame:

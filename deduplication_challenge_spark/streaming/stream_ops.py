@@ -1,0 +1,85 @@
+"""Streaming operators: incremental exact dedup + windowed event analytics.
+
+Patterns:
+  * exact dedup of a page stream — ``dropDuplicatesWithinWatermark`` on the
+    content hash: state is bounded by the watermark horizon instead of
+    growing forever (the only viable contract at crawl scale);
+  * windowed per-lang throughput — watermark + tumbling window aggregation;
+  * signature stream — the SAME Arrow kernel as batch
+    (operators/signatures.compute_signatures works unchanged on a streaming
+    DataFrame: mapInPandas is stateless per batch).
+
+Tests drive these with a file source + ``trigger(availableNow=True)`` so
+they run deterministically to completion on the sandbox (no real queue).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deduplication_challenge_spark.operators.ingest import extract_pages
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def read_page_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_exact_dedup(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """First-seen page per exact text content within the watermark horizon.
+
+    Streaming analog of operators/exact.py: late re-crawls of already-seen
+    content are dropped; state for a content hash is evicted once the
+    watermark passes it.
+    """
+    docs = extract_pages(pages_stream)
+    return (
+        docs.withColumn("text_hash", F.sha2("text", 256))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
+def stream_lang_window_counts(
+    pages_stream: DataFrame, window: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window docs/lang counts with late-data tolerance."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("lang"))
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_docs",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, checkpoint: str, output_mode: str = "append"):
+    """Drain all available input (availableNow trigger) into an in-memory
+    table; returns the query name for SELECT-back. Test harness helper ONLY:
+    the memory sink does not support checkpoint recovery — use a real sink
+    (parquet/kafka) for restart semantics (verified: stateful dedup state
+    survives restarts with a parquet sink on the same checkpoint)."""
+    import uuid
+
+    name = f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name

@@ -1,0 +1,204 @@
+"""Merge-policy goldens for the products consolidation engine — semantic
+port of the reference's per-policy integration tests
+(/root/reference/src/tests/test_integration.py layers), on an original
+hand-built fixture (ids 10/20/30 share identifier 'CAS-0001')."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplication_challenge_spark.operators.product_merge import consolidate_products
+from deduplication_challenge_spark.sources.products import PRODUCTS_SCHEMA
+
+
+def _row(**kw):
+    base = {f.name: None for f in PRODUCTS_SCHEMA.fields}
+    base.update(kw)
+    return tuple(base[f.name] for f in PRODUCTS_SCHEMA.fields)
+
+
+FIXTURE = [
+    _row(
+        id=10, unspsc="chemicals", root_domain="alpha.com",
+        page_url="https://alpha.com/p/10", product_title="Widget Pro",
+        product_summary="short summary", product_name="widget",
+        product_identifier="CAS-0001", brand="BrandA",
+        description="a medium description here",
+        intended_industries=["farming"], materials=["steel", "rubber"],
+        eco_friendly=True, manufacturing_year=2020,
+        price=[{"amount": 10.0, "currency": "USD", "type": "exact"},
+               {"amount": 12.5, "currency": "USD", "type": "exact"}],
+        size=[{"dimension": "height", "qualitative": False, "type": "exact",
+               "unit": "cm", "value": "30"}],
+        color=[{"original": "Ruby", "simple": "Red"}],
+        energy_efficiency=[{"exact_percentage": 80.0, "max_percentage": -1.0,
+                            "min_percentage": -1.0, "qualitative": "high",
+                            "standard_label": "A+"}],
+    ),
+    _row(
+        id=20, unspsc="chemicals", root_domain="beta.org",
+        page_url="https://beta.org/p/20", product_title="Widget",
+        product_summary="a much longer product summary than the others",
+        product_name="widget", product_identifier="CAS-0001", brand="BrandB",
+        description="tiny", intended_industries=["construction", "farming"],
+        materials=["steel"], eco_friendly=False, manufacturing_year=-1,
+        price=[{"amount": 8.0, "currency": "USD", "type": "exact"},
+               {"amount": 99.0, "currency": "EUR", "type": "exact"}],
+        size=[{"dimension": "height", "qualitative": False, "type": "exact",
+               "unit": "cm", "value": "tall"}],
+        color=[{"original": "Ruby", "simple": "Crimson"},
+               {"original": "Sky", "simple": "Blue"}],
+        energy_efficiency=[{"exact_percentage": -1.0, "max_percentage": 92.0,
+                            "min_percentage": 75.0, "qualitative": "high",
+                            "standard_label": "A+"}],
+    ),
+    _row(
+        id=30, unspsc="gardening", root_domain="alpha.com",
+        page_url="https://alpha.com/p/30", product_title="Widget Pro Max",
+        product_summary="mid", product_name="super widget",
+        product_identifier="CAS-0001", brand="BrandA",
+        description="the longest description of them all, clearly",
+        intended_industries=[], materials=None, eco_friendly=None,
+        manufacturing_year=2021,
+        price=None,
+        size=[{"dimension": "width", "qualitative": False, "type": "exact",
+               "unit": "cm", "value": "narrow"}],
+        color=None, energy_efficiency=None,
+    ),
+    _row(
+        id=40, unspsc="tools", root_domain="gamma.net",
+        page_url="https://gamma.net/p/40", product_title="Solo",
+        product_summary="solo summary", product_name="solo",
+        product_identifier="EAN-42", brand="BrandA",
+        description="solo description",
+        price=[{"amount": 5.0, "currency": "GBP", "type": "exact"}],
+        size=[{"dimension": "height", "qualitative": False, "type": "exact",
+               "unit": "m", "value": "2"}],
+    ),
+    _row(
+        id=50, unspsc="misc", root_domain="delta.io",
+        page_url="https://delta.io/p/50", product_title="NoId",
+        product_summary="no id summary", product_name="noid",
+        product_identifier="SKU: Not Available", brand="BrandB",
+        description="invalid identifier row",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = spark.createDataFrame(FIXTURE, PRODUCTS_SCHEMA)
+    out = consolidate_products(df)
+    return {r["id"]: r for r in out.collect()}
+
+
+class TestGrouping:
+    def test_cardinality_and_survivors(self, result):
+        # 3 rows merged into one survivor (min id), 2 passthrough
+        assert set(result) == {10, 40, 50}
+        assert result[10]["group_size"] == 3
+        assert result[40]["group_size"] == 1
+        assert result[50]["group_size"] == 1
+
+    def test_identifier_survives_verbatim(self, result):
+        assert result[10]["product_identifier"] == "CAS-0001"
+        assert result[50]["product_identifier"] == "SKU: Not Available"
+
+
+class TestElections:
+    def test_most_frequent(self, result):
+        # global freq: alpha.com=2(in group), BrandA=3 (incl row 40)
+        assert result[10]["root_domain"] == "alpha.com"
+        assert result[10]["brand"] == "BrandA"
+        # unspsc: chemicals=2 vs gardening=1
+        assert result[10]["unspsc"] == "chemicals"
+
+    def test_least_frequent(self, result):
+        # product_name: 'super widget' appears once globally, 'widget' twice
+        assert result[10]["product_name"] == "super widget"
+        # product_title: all three appear once -> tie -> smallest id (10)
+        assert result[10]["product_title"] == "Widget Pro"
+
+    def test_lengthiest(self, result):
+        assert result[10]["description"] == "the longest description of them all, clearly"
+        assert result[10]["product_summary"] == "a much longer product summary than the others"
+
+    def test_page_url_contains_elected_root_domain(self, result):
+        # elected root_domain alpha.com -> first (by id) url containing it
+        assert result[10]["page_url"] == "https://alpha.com/p/10"
+
+
+class TestCompleting:
+    def test_array_union_sorted(self, result):
+        assert result[10]["intended_industries"] == ["construction", "farming"]
+        assert result[10]["materials"] == ["rubber", "steel"]
+
+    def test_scalar_union(self, result):
+        assert result[10]["eco_friendly"] == [False, True]
+        assert result[10]["manufacturing_year"] == [-1, 2020, 2021]
+
+
+class TestIntervals:
+    def test_price_keyed_min_max(self, result):
+        price = sorted((p["currency"], p["min"], p["max"]) for p in result[10]["price"])
+        assert price == [("EUR", "99.0", "99.0"), ("USD", "8.0", "12.5")]
+
+    def test_size_literal_fallback(self, result):
+        size = {(s["dimension"], s["unit"]): (s["min"], s["max"]) for s in result[10]["size"]}
+        # height/cm has numeric 30 -> literal 'tall' dropped
+        assert size[("height", "cm")] == ("30.0", "30.0")
+        # width/cm has only literal 'narrow' -> kept as min=max literal
+        assert size[("width", "cm")] == ("narrow", "narrow")
+
+    def test_energy_efficiency_min_max(self, result):
+        ee = result[10]["energy_efficiency"]
+        assert len(ee) == 1
+        assert ee[0]["qualitative"] == "high" and ee[0]["standard_label"] == "A+"
+        assert ee[0]["min_percentage"] == 75.0 and ee[0]["max_percentage"] == 92.0
+
+    def test_color_rollup(self, result):
+        colors = {c["original"]: c["simple"] for c in result[10]["color"]}
+        assert colors == {"Ruby": "Crimson, Red", "Sky": "Blue"}
+
+
+class TestDetailsProvenance:
+    def test_details_maps_values_to_urls(self, result):
+        d = json.loads(result[10]["details"])
+        assert d["brand"]["BrandA"] == ["https://alpha.com/p/10", "https://alpha.com/p/30"]
+        assert d["brand"]["BrandB"] == ["https://beta.org/p/20"]
+        assert d["root_domain"]["alpha.com"] == [
+            "https://alpha.com/p/10", "https://alpha.com/p/30"
+        ]
+        assert d["description"]["tiny"] == ["https://beta.org/p/20"]
+
+    def test_source_urls(self, result):
+        assert result[10]["source_urls"] == [
+            "https://alpha.com/p/10", "https://alpha.com/p/30", "https://beta.org/p/20",
+        ]
+
+
+class TestPassthrough:
+    def test_singleton_values_unchanged(self, result):
+        r = result[40]
+        assert r["product_title"] == "Solo"
+        assert r["brand"] == "BrandA"
+        assert r["eco_friendly"] == []
+        assert r["source_urls"] == ["https://gamma.net/p/40"]
+
+    def test_singleton_nested_standardized(self, result):
+        price = result[40]["price"]
+        assert [(p["currency"], p["min"], p["max"]) for p in price] == [("GBP", "5.0", "5.0")]
+        size = result[40]["size"]
+        assert [(s["dimension"], s["min"], s["max"]) for s in size] == [("height", "2.0", "2.0")]
+
+    def test_invalid_identifier_never_merges(self, result):
+        assert result[50]["product_title"] == "NoId"
+
+
+class TestDeterminism:
+    def test_repartitioned_input_same_output(self, spark, result):
+        df = spark.createDataFrame(FIXTURE, PRODUCTS_SCHEMA).repartition(7)
+        again = {r["id"]: r for r in consolidate_products(df).collect()}
+        for rid, row in result.items():
+            assert row.asDict(True) == again[rid].asDict(True), rid

@@ -1,0 +1,87 @@
+"""Similarity-search operator tests: brute-force exactness vs a numpy
+oracle, LSH-bucketed ANN recall against the brute-force baseline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deduplication_challenge_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    hyperplane_buckets,
+)
+
+DIM = 8
+N = 200
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((N, DIM)).astype(np.float32)
+    # plant near-neighbors: vec i+100 = vec i + small noise (i < 50)
+    for i in range(50):
+        base[i + 100] = base[i] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+    return base
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, vectors):
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _numpy_topk(vectors, qid, k):
+    q = vectors[qid].astype(np.float64)
+    sims = vectors.astype(np.float64) @ q
+    sims /= np.linalg.norm(vectors.astype(np.float64), axis=1) * np.linalg.norm(q)
+    sims = np.round(sims, 6)
+    order = sorted(((-sims[i], i) for i in range(N) if i != qid))
+    return [i for _, i in order[:k]]
+
+
+class TestBruteForce:
+    def test_matches_numpy_oracle(self, spark, emb_df, vectors):
+        queries = emb_df.where(F.col("vec_id") < 5)
+        got = cosine_topk_bruteforce(emb_df, queries, k=5).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+        for qid in range(5):
+            want = _numpy_topk(vectors, qid, 5)
+            have = [v for _, v in sorted(by_q[qid])]
+            assert have == want, qid
+
+    def test_planted_neighbor_is_rank1(self, spark, emb_df):
+        queries = emb_df.where(F.col("vec_id") < 10)
+        got = cosine_topk_bruteforce(emb_df, queries, k=1).collect()
+        for r in got:
+            assert r["vec_id"] == r["query_id"] + 100
+
+    def test_excludes_self(self, spark, emb_df):
+        queries = emb_df.where(F.col("vec_id") < 10)
+        got = cosine_topk_bruteforce(emb_df, queries, k=5).collect()
+        assert all(r["vec_id"] != r["query_id"] for r in got)
+
+
+class TestLSH:
+    def test_buckets_deterministic(self, spark, emb_df):
+        b1 = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(emb_df, 8, 42).collect()}
+        b2 = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(emb_df, 8, 42).collect()}
+        assert b1 == b2
+        b3 = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(emb_df, 8, 43).collect()}
+        assert b1 != b3
+
+    def test_planted_neighbors_share_bucket_and_rank1(self, spark, emb_df):
+        """Near-identical vectors land in the same hyperplane bucket with
+        overwhelming probability; ANN must return them at rank 1."""
+        queries = emb_df.where(F.col("vec_id") < 20)
+        got = cosine_topk_lsh(emb_df, queries, k=1, n_planes=8, seed=42).collect()
+        hits = sum(1 for r in got if r["vec_id"] == r["query_id"] + 100)
+        assert hits >= 18  # allow <=2 hyperplane splits among 20 planted pairs
+
+    def test_ann_subset_of_bruteforce_universe(self, spark, emb_df):
+        queries = emb_df.where(F.col("vec_id") < 5)
+        ann = cosine_topk_lsh(emb_df, queries, k=3, n_planes=4, seed=42).collect()
+        assert all(0 <= r["vec_id"] < N for r in ann)
+        assert all(r["cosine"] <= 1.000001 for r in ann)

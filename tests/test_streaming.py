@@ -1,0 +1,70 @@
+"""Structured Streaming operator tests, driven to completion with the
+availableNow trigger over a file source (deterministic, no live queue)."""
+
+import datetime as dt
+import os
+
+import pytest
+
+from deduplication_challenge_spark.streaming.stream_ops import (
+    read_page_stream,
+    run_to_completion,
+    stream_exact_dedup,
+    stream_lang_window_counts,
+)
+
+TS = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    rows = [
+        ("https://a/1", TS, None, "same content here", "en"),
+        ("https://a/2", TS + dt.timedelta(minutes=1), None, "same content here", "en"),
+        ("https://a/3", TS + dt.timedelta(minutes=2), None, "different content", "de"),
+        ("https://a/4", TS + dt.timedelta(minutes=11), None, "same content here", "en"),
+        ("https://a/5", TS + dt.timedelta(minutes=12), None, "yet another page", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+class TestStreamExactDedup:
+    def test_first_seen_survives(self, spark, stream_input, tmp_path_factory):
+        ckpt = str(tmp_path_factory.mktemp("ckpt_dedup"))
+        stream = read_page_stream(spark, stream_input)
+        name = run_to_completion(stream_exact_dedup(stream, watermark="1 hour"), ckpt)
+        out = spark.sql(f"SELECT * FROM {name}").collect()
+        texts = sorted(r["text"] for r in out)
+        # 'same content here' deduped to one survivor within the watermark
+        assert texts == ["different content", "same content here", "yet another page"]
+
+    def test_streaming_plan_is_incremental(self, spark, stream_input):
+        stream = read_page_stream(spark, stream_input)
+        assert stream_exact_dedup(stream).isStreaming
+
+
+class TestWindowCounts:
+    def test_tumbling_counts(self, spark, stream_input, tmp_path_factory):
+        ckpt = str(tmp_path_factory.mktemp("ckpt_win"))
+        stream = read_page_stream(spark, stream_input)
+        # complete mode: append would emit only windows already past the
+        # watermark, and a single availableNow drain closes none of them
+        name = run_to_completion(
+            stream_lang_window_counts(stream, window="10 minutes", watermark="1 hour"),
+            ckpt,
+            output_mode="complete",
+        )
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        got = {
+            (r["window_start"].minute, r["lang"]): r["n_docs"]
+            for r in rows
+        }
+        # window [00:00,00:10): en x2 (urls 1,2), de x1; window [00:10,00:20): en x2
+        assert got.get((0, "en")) == 2
+        assert got.get((0, "de")) == 1
+        assert got.get((10, "en")) == 2
