@@ -40,10 +40,23 @@ class DedupConfig:
     # --- SimHash ----------------------------------------------------------
     simhash_bits: int = 64
     hamming_k: int = 3                 # accept pairs with Hamming distance <= k
-    simhash_window: int = 8            # permute-and-sort neighbor window (Manku WWW'07)
+    simhash_window: int = 4            # permute-and-sort neighbor window (Manku WWW'07)
     # --- suffix-array substring pass ---------------------------------------
     substr_min_len: int = 48           # chars of shared substring to count as dup
-    substr_partitions: int = 0         # 0 = use spark.sql.shuffle.partitions
+    substr_partitions: int = 32        # PINNED (not core-derived): partition-local
+                                       # results depend on co-location, so a fixed
+                                       # count keeps output identical across
+                                       # parallelism levels
+    substr_winnow_window: int = 16     # anchor-sampling window W: detection
+                                       # guaranteed for shared runs >=
+                                       # min_len+W-1 chars; 0 = every position
+    substr_verify: bool = False        # char-level verification of hash-equal
+                                       # windows (2^-64 collision odds without;
+                                       # the gathers dominate traffic with)
+    # --- signatures ---------------------------------------------------------
+    emit_fingerprints: bool = False    # winnowing fingerprints are an optional
+                                       # output (doc-fingerprint op); the dedup
+                                       # pipeline itself never reads them
     # --- consolidation ----------------------------------------------------
     min_group_size: int = 2            # singletons pass through untouched
                                        # (/root/reference/src/main.py:93-95)

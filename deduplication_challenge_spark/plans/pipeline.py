@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deduplication_challenge_spark.config import DedupConfig
-from deduplication_challenge_spark.operators import exact, lsh, simhash, suffixarray, verify
+from deduplication_challenge_spark.operators import lsh, simhash, suffixarray, verify
 from deduplication_challenge_spark.operators.connected_components import connected_components
 from deduplication_challenge_spark.operators.consolidate import attach_clusters, consolidate
 from deduplication_challenge_spark.operators.ingest import extract_pages
@@ -184,15 +184,17 @@ class DedupPipeline:
         def build_candidates() -> DataFrame:
             # stats frames are NOT collected here — extra driver-blocking
             # jobs would serialize the stage; per-origin counters come from
-            # one cheap aggregate over the materialized table below
+            # one cheap aggregate over the materialized table below.
+            # NOTE: no separate exact-dup edge source — byte-identical docs
+            # have identical signatures, co-bucket in every LSH band, and
+            # verify at estimated Jaccard 1.0, so LSH+verify provably covers
+            # them (operators/exact.py stays as the cheap standalone path).
             bands = lsh.band_table(sigs)
             lsh_edges, _ = lsh.candidate_pairs(bands, cfg)
             sim_edges, _ = simhash.hamming_pairs(sigs, cfg)
-            exact_edges = exact.exact_dup_edges(docs)
             lsh_tagged = lsh_edges.select("src", "dst", F.lit("lsh").alias("origin"))
             sim_tagged = sim_edges.select("src", "dst", F.lit("simhash").alias("origin"))
-            ex_tagged = exact_edges.select("src", "dst", F.lit("exact").alias("origin"))
-            parts = [lsh_tagged, sim_tagged, ex_tagged]
+            parts = [lsh_tagged, sim_tagged]
             if self.include_substring:
                 sub = suffixarray.substring_pairs(docs, cfg, self.substring_partitions)
                 parts.append(sub.select("src", "dst", F.lit("substring").alias("origin")))

@@ -1,15 +1,24 @@
 """Suffix-array kernel unit tests (partition-local pass semantics)."""
 
 import numpy as np
+import pytest
 
 from deduplication_challenge_spark.operators.suffixarray import (
     build_suffix_array,
     substring_pairs_partition,
+    substring_pairs_partition_rolling,
 )
 
 
 def _pairs(doc_ids, texts, min_len):
     out = substring_pairs_partition(np.array(doc_ids, dtype=np.int64), texts, min_len)
+    return set(zip(out["src"].tolist(), out["dst"].tolist()))
+
+
+def _pairs_rolling(doc_ids, texts, min_len, verify=False, winnow=0):
+    out = substring_pairs_partition_rolling(
+        np.array(doc_ids, dtype=np.int64), texts, min_len, verify, winnow
+    )
     return set(zip(out["src"].tolist(), out["dst"].tolist()))
 
 
@@ -64,3 +73,48 @@ class TestSubstringPairs:
 
     def test_single_doc_no_pairs(self):
         assert _pairs([1], ["anything at all"], 8) == set()
+
+
+class TestRollingEquivalence:
+    """The rolling-hash kernel (default scale path) must match the
+    suffix-array reference kernel exactly at winnow_window=0."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        rng = np.random.Generator(np.random.PCG64(11))
+        vocab = [f"w{i}" for i in range(300)]
+        texts = []
+        for _ in range(120):
+            texts.append(" ".join(vocab[int(rng.integers(300))] for _ in range(80)))
+        for i in range(0, 20, 2):  # plant a DISTINCT shared block per pair
+            shared = " ".join(vocab[int(rng.integers(300))] for _ in range(30))
+            texts[i] += " " + shared + f" tail{i}"
+            texts[i + 1] = f"head{i} " + shared + " " + texts[i + 1]
+        ids = list(range(1000, 1000 + len(texts)))
+        return ids, texts
+
+    @pytest.mark.parametrize("verify", [False, True])
+    def test_identical_to_suffix_array(self, corpus, verify):
+        ids, texts = corpus
+        assert _pairs(ids, texts, 48) == _pairs_rolling(ids, texts, 48, verify, 0)
+
+    def test_winnowed_guarantee(self, corpus):
+        """Winnowed anchors must catch every shared run >= min_len + W - 1:
+        the planted shared blocks are ~170 chars >> 48 + 16 - 1."""
+        ids, texts = corpus
+        full = _pairs(ids, texts, 48)
+        winnowed = _pairs_rolling(ids, texts, 48, False, 16)
+        planted = {(ids[i], ids[i + 1]) for i in range(0, 20, 2)}
+        assert planted <= full
+        assert planted <= winnowed
+        # winnowed never invents pairs the exact pass doesn't have
+        assert winnowed <= full
+
+    def test_winnowed_selection_is_content_defined(self):
+        """Same shared block in different surrounding contexts selects the
+        same anchors -> the pair is found regardless of position."""
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+        for pad_a, pad_b in [(0, 37), (13, 91), (200, 5)]:
+            a = "x" * pad_a + " " + shared + " endA"
+            b = "y" * pad_b + " " + shared + " endB"
+            assert _pairs_rolling([1, 2], [a, b], 48, False, 16) == {(1, 2)}

@@ -86,13 +86,9 @@ def one_run(cpus: int) -> dict:
     pages = spark.read.parquet(CORPUS_DIR)
     n_docs = pages.count()
     workdir = tempfile.mkdtemp(prefix=f"dedup_scale_{cpus}_")
-    # substring partition count is FIXED (not core-derived): partition-local
-    # SA results depend on co-location, so a pinned partitioning keeps output
-    # identical across parallelism levels (determinism contract)
-    pipe = DedupPipeline(
-        spark, DedupConfig(), workdir,
-        include_substring=True, substring_partitions=64,
-    )
+    # substring partition count comes from the pinned config (determinism
+    # across parallelism levels)
+    pipe = DedupPipeline(spark, DedupConfig(), workdir, include_substring=True)
     t0 = time.monotonic()
     canonical, report = pipe.run(pages, input_desc=f"scaling:{CORPUS_DIR}")
     n_out = canonical.count()

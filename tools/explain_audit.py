@@ -1,0 +1,122 @@
+"""Physical-plan audit: .explain('formatted') for the key queries, with
+automated checks for the plan properties that matter at 100 TB:
+
+  * parquet scans carry PushedFilters / pruned ReadSchema (no full-width
+    scans for narrow projections),
+  * WholeStageCodegen covers the relational sections,
+  * broadcast joins chosen where a side is dim-sized,
+  * no CartesianProduct outside the intentional broadcast cross join in
+    similarity search.
+
+Usage: python tools/explain_audit.py [sf_dir]
+Prints one PASS/WARN line per audited query plus the offending plan excerpt
+on WARN. Exit 1 on any WARN.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import functions as F
+
+    from deduplication_challenge_spark import entry_queries as eq
+    from deduplication_challenge_spark.session import build_session
+
+    spark = build_session("explain-audit", master="local[4]", shuffle_partitions=4)
+    failures = 0
+
+    def check(name: str, ok: bool, detail: str, plan: str = "") -> None:
+        nonlocal failures
+        print(f"{'PASS' if ok else 'WARN'}  {name}: {detail}")
+        if not ok:
+            failures += 1
+            print("      " + "\n      ".join(plan.splitlines()[:30]))
+
+    # 1. filter + projection pushdown reach the scan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    narrow = docs.where(F.col("lang") == "en").select("doc_id", "n_chars")
+    p = plan_text(narrow)
+    check(
+        "pushdown/documents",
+        ("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p)
+        and ("text" not in re.search(r"ReadSchema: ([^\n]*)", p).group(1)),
+        "lang filter pushed to parquet; text column pruned",
+        p,
+    )
+
+    # 2. Q1-style agg: partial aggregation + codegen
+    p = plan_text(eq.q_pricing_summary(spark, sf_dir))
+    check(
+        "pricing_summary",
+        "WholeStageCodegen" in p and p.count("HashAggregate") >= 2,
+        "partial+final HashAggregate inside WholeStageCodegen",
+        p,
+    )
+
+    # 3. dim joins broadcast
+    p = plan_text(eq.q_region_nation_rollup(spark, sf_dir))
+    check(
+        "region_nation_rollup",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+        "both dim joins broadcast",
+        p,
+    )
+
+    # 4. similarity brute force: broadcast nested loop (intentional), no shuffle before topk window
+    p = plan_text(eq.q_ann_topk_bruteforce(spark, sf_dir))
+    check(
+        "ann_topk_bruteforce",
+        "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p,
+        "query side broadcast; no cartesian shuffle",
+        p,
+    )
+
+    # 5. LSH star edges: aggregate + shuffled hash join, and scan prunes to
+    # the two needed columns
+    from deduplication_challenge_spark.config import DedupConfig
+    from deduplication_challenge_spark.operators import lsh
+    from deduplication_challenge_spark.operators.signatures import compute_signatures
+
+    sigs = compute_signatures(docs.select("doc_id", "text"), DedupConfig())
+    edges, _ = lsh.candidate_pairs(lsh.band_table(sigs), DedupConfig())
+    p = plan_text(edges)
+    rs = re.search(r"ReadSchema: ([^\n]*)", p)
+    check(
+        "lsh_candidates",
+        "CartesianProduct" not in p and rs and "lang" not in rs.group(1),
+        "no cartesian; signature input pruned to (doc_id, text)",
+        p,
+    )
+
+    # 6. exact dedup groups: single shuffle (one Exchange)
+    p = plan_text(eq.q_exact_dup_groups(spark, sf_dir))
+    n_exchanges = p.count("Exchange")
+    check(
+        "exact_dup_groups",
+        n_exchanges <= 2,  # hashpartitioning for the agg (+AQE read)
+        f"{n_exchanges} Exchange nodes (partial agg does the heavy lifting)",
+        p,
+    )
+
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
