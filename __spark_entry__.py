@@ -53,9 +53,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
     workdir = tempfile.mkdtemp(prefix="dedup_entry_")
-    pipe = DedupPipeline(
-        spark, DedupConfig(), workdir, include_substring=True, substring_partitions=4
-    )
+    # substring partitioning comes from the pinned config (determinism)
+    pipe = DedupPipeline(spark, DedupConfig(), workdir, include_substring=True)
     canonical, _ = pipe.run(pages, input_desc="sf0.001")
     return canonical
 

@@ -40,10 +40,7 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="dedup_bench_")
     try:
         pages = pages_from_documents(spark, sf_dir)
-        pipe = DedupPipeline(
-            spark, DedupConfig(), workdir,
-            include_substring=True, substring_partitions=int(cpus),
-        )
+        pipe = DedupPipeline(spark, DedupConfig(), workdir, include_substring=True)
         t0 = time.monotonic()
         canonical, report = pipe.run(pages, input_desc=f"bench:{sf_dir}")
         n_canonical = canonical.count()

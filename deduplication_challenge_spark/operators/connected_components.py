@@ -18,8 +18,47 @@ closure of the near-dup candidate edges.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _local_contract(edges: DataFrame) -> DataFrame:
+    """Partition-local union-find pre-contraction: one Arrow pass replacing
+    each partition's edge set with its spanning star (node -> local-min
+    root). Output is <= #distinct nodes per partition, duplicate-heavy edge
+    sets (stars from several LSH bands / simhash chunks over the same
+    cluster) collapse before the first shuffle, and the global fixpoint loop
+    then needs fewer iterations over fewer edges."""
+
+    def contract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                rs, rd = find(int(s)), find(int(d))
+                if rs != rd:
+                    lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                    parent[hi] = lo
+        out_src, out_dst = [], []
+        for node in parent:
+            root = find(node)
+            if root != node:
+                out_src.append(node)
+                out_dst.append(root)
+        yield pd.DataFrame({"src": out_src, "dst": out_dst}, dtype="int64")
+
+    return edges.mapInPandas(contract, schema="src long, dst long")
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -73,7 +112,9 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     singletons (consolidate.attach_clusters), mirroring the reference's
     untouched singleton groups (/root/reference/src/main.py:94-95).
     """
-    cur = edges.where(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    cur = _local_contract(edges.where(F.col("src") != F.col("dst"))).localCheckpoint(
+        eager=True
+    )
     prev_sig = None
     for _ in range(max_iterations):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)

@@ -47,15 +47,26 @@ CANONICAL_SCHEMA = (
     "n_members long, details string"
 )
 
+# slim kernel output: the winning TEXT itself is joined back JVM-side after
+# the kernel (winner_doc_id), so full document bodies never cross the Arrow
+# boundary — at 1M-docs bench scale that cut the consolidate stage's Python
+# payload ~10x
+CANONICAL_SLIM_SCHEMA = (
+    "cluster_id long, doc_id long, winner_doc_id long, url string, "
+    "warc_ts timestamp, lang string, langs array<string>, "
+    "member_urls array<string>, n_members long, details string"
+)
 
-def consolidate_cluster_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Consolidation kernel for ONE cluster (shared with the pytest oracle —
-    same bytes by construction)."""
+
+def consolidate_cluster_slim_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Consolidation kernel for ONE cluster over slim columns
+    (cluster_id, doc_id, url, warc_ts, lang, text_len) — shared with the
+    pytest oracle, same bytes by construction."""
     pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
     cluster_id = int(pdf["cluster_id"].iloc[0])
-    # longest text, tie -> min doc_id (stable sort preserves doc_id order)
-    text_lens = pdf["text"].fillna("").str.len()
-    winner = text_lens.idxmax()  # first occurrence of the max wins
+    # longest text, tie -> min doc_id (stable sort preserves doc_id order;
+    # idxmax returns the FIRST occurrence of the max)
+    winner = pdf["text_len"].fillna(0).idxmax()
     lang_counts = pdf["lang"].value_counts()
     top = lang_counts[lang_counts == lang_counts.max()]
     lang = sorted(top.index)[0]
@@ -69,9 +80,9 @@ def consolidate_cluster_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "cluster_id": [cluster_id],
             "doc_id": [int(pdf["doc_id"].min())],
+            "winner_doc_id": [int(pdf["doc_id"].iloc[winner])],
             "url": [pdf["url"].iloc[winner]],
             "warc_ts": [pdf["warc_ts"].min()],
-            "text": [pdf["text"].iloc[winner]],
             "lang": [lang],
             "langs": [sorted(pdf["lang"].dropna().unique())],
             "member_urls": [sorted(pdf["url"])],
@@ -79,6 +90,19 @@ def consolidate_cluster_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             "details": [json.dumps(details, sort_keys=True, separators=(",", ":"))],
         }
     )
+
+
+def consolidate_cluster_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Full-schema kernel (slim kernel + text attach) — the oracle and the
+    kernel-golden tests consume this; the Spark plan uses the slim kernel
+    with a JVM-side text join instead."""
+    slim_in = pdf.assign(text_len=pdf["text"].fillna("").str.len())
+    out = consolidate_cluster_slim_pdf(
+        slim_in[["cluster_id", "doc_id", "url", "warc_ts", "lang", "text_len"]]
+    )
+    text_by_id = dict(zip(pdf["doc_id"], pdf["text"]))
+    out.insert(4, "text", out["winner_doc_id"].map(text_by_id))
+    return out.drop(columns=["winner_doc_id"])
 
 
 def attach_clusters(docs: DataFrame, assignments: DataFrame) -> DataFrame:
@@ -101,10 +125,24 @@ def consolidate(docs_with_cluster: DataFrame, min_group_size: int = 2) -> DataFr
     multi = dc.where(F.col("n_members") >= min_group_size)
     single = dc.where(F.col("n_members") < min_group_size)
 
-    consolidated = (
-        multi.select("cluster_id", "doc_id", "url", "warc_ts", "text", "lang")
+    # slim columns through the Arrow boundary; winning text joined back
+    # JVM-side (broadcast when winners are few, shuffle join otherwise — AQE)
+    slim = (
+        multi.select(
+            "cluster_id", "doc_id", "url", "warc_ts", "lang",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("text_len"),
+        )
         .groupBy("cluster_id")
-        .applyInPandas(lambda pdf: consolidate_cluster_pdf(pdf), schema=CANONICAL_SCHEMA)
+        .applyInPandas(
+            lambda pdf: consolidate_cluster_slim_pdf(pdf), schema=CANONICAL_SLIM_SCHEMA
+        )
+    )
+    winner_text = docs_with_cluster.select(
+        F.col("doc_id").alias("winner_doc_id"), F.col("text")
+    )
+    consolidated = slim.join(winner_text, "winner_doc_id").select(
+        "cluster_id", "doc_id", "url", "warc_ts", "text", "lang",
+        "langs", "member_urls", "n_members", "details",
     )
     passthrough = single.select(
         "cluster_id",

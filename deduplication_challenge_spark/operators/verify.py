@@ -1,31 +1,32 @@
 """Jaccard verification of LSH candidate pairs.
 
-Pairs are joined back to their MinHash signatures and the estimated Jaccard
-(fraction of agreeing signature positions) is computed in one vectorized
-numpy pass per Arrow batch, then thresholded (north_star: "candidate pairs
-from LSH bands are verified with vectorized Jaccard estimation").
+Pairs join back to their MinHash signatures and the estimated Jaccard
+(fraction of agreeing signature positions) is computed ENTIRELY JVM-side:
+``zip_with`` + ``aggregate`` higher-order functions inside whole-stage
+codegen. An earlier revision used an Arrow pandas UDF; shipping two
+128-element arrays per pair across the Python boundary made this stage
+bandwidth-bound — the native expression removes the round trip entirely
+(north_star: "verified with vectorized Jaccard estimation"; the
+vectorization now happens in Tungsten rather than numpy).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
 
 from deduplication_challenge_spark.config import DedupConfig
 
 
-@F.pandas_udf(DoubleType())
-def _estimate_jaccard_udf(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
-    """Batched MinHash agreement rate. Signatures have fixed length, so the
-    batch stacks into one (n, num_perm) matrix — a single vectorized compare."""
-    if len(sig_a) == 0:
-        return pd.Series([], dtype="float64")
-    mat_a = np.vstack(sig_a.to_numpy())
-    mat_b = np.vstack(sig_b.to_numpy())
-    return pd.Series((mat_a == mat_b).mean(axis=1))
+def estimate_jaccard_col(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
+    """Fraction of agreeing positions of two equal-length signature arrays —
+    pure Spark expression (codegen), no UDF."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree / F.lit(num_perm)
 
 
 def verify_pairs(
@@ -33,8 +34,10 @@ def verify_pairs(
 ) -> DataFrame:
     """pairs(src, dst) -> verified pairs(src, dst, jaccard_est >= threshold).
 
-    Two hash joins against the signatures table (projected to
-    (doc_id, minhash) so only the signature column shuffles).
+    Two hash joins against the signatures table projected to
+    (doc_id, minhash) — only the signature column shuffles, and the Jaccard
+    filter runs inside the join's codegen stage so rejected pairs never
+    materialize downstream.
     """
     sigs = signatures.select("doc_id", "minhash")
     s1 = sigs.withColumnRenamed("doc_id", "src").withColumnRenamed("minhash", "sig_src")
@@ -42,7 +45,10 @@ def verify_pairs(
     return (
         pairs.join(s1, "src")
         .join(s2, "dst")
-        .withColumn("jaccard_est", _estimate_jaccard_udf("sig_src", "sig_dst"))
+        .withColumn(
+            "jaccard_est",
+            estimate_jaccard_col(F.col("sig_src"), F.col("sig_dst"), cfg.num_perm),
+        )
         .where(F.col("jaccard_est") >= cfg.jaccard_threshold)
         .select("src", "dst", "jaccard_est")
     )
