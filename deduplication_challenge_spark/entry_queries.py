@@ -255,6 +255,26 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(e, queries_df, k=3, n_planes=8, seed=42)
 
 
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.35, vec_id_a < vec_id_b)
+    — the vector-space analog of the text near-dup path. Exact (brute-force)
+    so DuckDB can oracle it; the LSH-bucketed scale variant is
+    operators/similarity.cosine_topk_lsh."""
+    from deduplication_challenge_spark.operators.similarity import _dot, _norm
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
+    sim = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("cosine", F.round(sim, 6))
+        .where(F.col("cosine") >= 0.35)
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint cardinality per doc (rows-only)."""
     from deduplication_challenge_spark.config import DedupConfig
@@ -452,6 +472,7 @@ QUERIES = {
     "label_centroid_dims": q_label_centroid_dims,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "doc_fingerprints": q_doc_fingerprints,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -610,6 +631,22 @@ ORACLE_SQL = {
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored
         ) WHERE rank <= 3
+    """,
+    "embedding_near_dup_pairs": """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) >= 0.35
     """,
     "label_centroid_dims": """
         SELECT label, count(*) AS n_vecs,
