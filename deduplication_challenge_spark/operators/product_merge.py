@@ -86,11 +86,14 @@ def global_frequencies(products: DataFrame, field: str) -> DataFrame:
     )
 
 
-def _with_frequencies(products: DataFrame) -> DataFrame:
-    """Broadcast-join the (small) per-field frequency tables back onto rows."""
-    out = products
+def _with_frequencies(rows: DataFrame, freq_source: DataFrame) -> DataFrame:
+    """Broadcast-join per-field frequency tables onto ``rows``. Frequencies
+    are computed over ``freq_source`` = the WHOLE table, not just mergeable
+    rows — the reference counts before any group filtering
+    (/root/reference/src/main.py:117-119)."""
+    out = rows
     for field in MERGE_BY_MOST_FREQUENT + MERGE_BY_LEAST_FREQUENT:
-        freqs = global_frequencies(products, field).withColumnRenamed("value", field)
+        freqs = global_frequencies(freq_source, field).withColumnRenamed("value", field)
         out = out.join(F.broadcast(freqs), field, "left")
     return out
 
@@ -225,15 +228,29 @@ def consolidate_products(products: DataFrame) -> DataFrame:
     singleton / invalid-identifier rows pass through standardized
     (/root/reference/src/main.py:76-97)."""
     meta = attach_group_meta(products)
-    mergeable = _with_frequencies(meta.where(F.col("is_mergeable")))
+    mergeable = _with_frequencies(meta.where(F.col("is_mergeable")), products)
     passthrough = meta.where(~F.col("is_mergeable"))
 
     # --- scalar elections + completing, one hash aggregate ---------------
+    # pinned null rule: elections ignore null values — a null only survives
+    # when every member is null ("maximizing the available information",
+    # /root/reference/README.md:4); the leading not-null/is-null flag makes
+    # max_by and min_by treat nulls symmetrically
     aggs: list[Column] = [F.min("id").alias("id"), F.max("group_size").alias("group_size")]
     for f in MERGE_BY_MOST_FREQUENT:
-        aggs.append(F.max_by(f, F.struct(F.col(f"freq_{f}"), -F.col("id"))).alias(f))
+        aggs.append(
+            F.max_by(
+                f,
+                F.struct(F.col(f).isNotNull().cast("int"), F.col(f"freq_{f}"), -F.col("id")),
+            ).alias(f)
+        )
     for f in MERGE_BY_LEAST_FREQUENT:
-        aggs.append(F.min_by(f, F.struct(F.col(f"freq_{f}"), F.col("id"))).alias(f))
+        aggs.append(
+            F.min_by(
+                f,
+                F.struct(F.col(f).isNull().cast("int"), F.col(f"freq_{f}"), F.col("id")),
+            ).alias(f)
+        )
     for f in MERGE_BY_LENGTHIEST_VALUE:
         aggs.append(
             F.max_by(f, F.struct(F.length(F.coalesce(f, F.lit(""))), -F.col("id"))).alias(f)
@@ -254,12 +271,17 @@ def consolidate_products(products: DataFrame) -> DataFrame:
     )
     merged = mergeable.groupBy(IDENTIFIER).agg(*aggs)
     # J3: first (by id) url containing the elected root_domain
+    # F.get is null-safe on the empty-match case — mirrors the reference's
+    # next(..., None) fallback (/root/reference/src/controller.py:265)
     merged = merged.withColumn(
         PAGE_URL,
-        F.filter(
-            F.col("_urls_by_id"),
-            lambda s: F.instr(s[PAGE_URL], F.coalesce(F.col("root_domain"), F.lit(""))) > 0,
-        )[0][PAGE_URL],
+        F.get(
+            F.filter(
+                F.col("_urls_by_id"),
+                lambda s: F.instr(s[PAGE_URL], F.coalesce(F.col("root_domain"), F.lit(""))) > 0,
+            ),
+            F.lit(0),
+        )[PAGE_URL],
     ).drop("_urls_by_id")
 
     # --- nested-field aggregations, joined back on the group key ----------
