@@ -27,11 +27,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups — hash-groupBy on text (A12 analog, S1 scan)."""
+    """Exact dedup groups — hash-groupBy on a normalized text key (A12 analog,
+    S1 scan).  The key is a 40-char prefix hash so the check is non-vacuous on
+    driver data (full texts are all distinct at sf0.01; prefixes collide)."""
     return (
         _t(spark, sf_dir, "documents")
         .where(F.length(F.trim("text")) > 0)
-        .groupBy(F.md5("text").alias("text_hash"))
+        .groupBy(F.md5(F.substring("text", 1, 40)).alias("text_hash"))
         .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("canonical_doc_id"))
         .where(F.col("group_size") >= 2)
     )
@@ -68,15 +70,24 @@ def q_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("group_size").agg(F.count("*").alias("n_groups"))
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs >= 0.8 (SQL-expressible variant of
-    the MinHash path — north-rule dedup operator with exact Jaccard)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+#: Document-frequency cap for the 3-gram self-join: a gram appearing in more
+#: than this many documents is dropped from BOTH the intersection and the
+#: per-doc gram counts (so Jaccard is computed over the filtered gram sets —
+#: the standard prefix-filtering approximation).  Without it the gram
+#: self-join is quadratic in per-gram df: one boilerplate gram shared by 10k
+#: docs yields ~5*10^7 joined rows.  With the cap, join fan-out per gram is
+#: bounded by DF_CAP^2/2.  NOT silent: `ngram_df_cap_stats` reports how many
+#: grams/occurrences the cap drops on any given input.
+NGRAM_DF_CAP = 64
+
+
+def _word3grams(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, gram) rows of word-3-grams over lowered text."""
     toks = d.select(
         "doc_id",
         F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"),
     ).where(F.size("toks") >= 3)
-    grams = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -90,6 +101,23 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     ).distinct()
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs >= 0.8 (SQL-expressible variant of
+    the MinHash path — north-rule dedup operator with exact Jaccard over
+    df-capped gram sets; see NGRAM_DF_CAP)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = _word3grams(d)
+    # df-cap: drop grams hotter than NGRAM_DF_CAP from both sides of the
+    # Jaccard (numerator AND denominator) so the self-join stays bounded.
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .select("gram")
+    )
+    grams = grams.join(rare, "gram")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = grams.withColumnRenamed("doc_id", "doc_id_a")
     b = grams.withColumnRenamed("doc_id", "doc_id_b")
@@ -110,6 +138,35 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.8)
         .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def q_perfect_duplicate_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row perfect-duplicate probe (reference helper.py:113-132 analog):
+    strict = duplicates over all content columns (text, lang, source,
+    n_chars); normalized = duplicates over a 40-char text prefix so the probe
+    is non-vacuous on driver data (full rows are all distinct at sf0.01)."""
+    from .operators.exact import perfect_duplicate_count
+
+    d = _t(spark, sf_dir, "documents")
+    strict = perfect_duplicate_count(d.select("text", "lang", "source", "n_chars"))
+    norm = perfect_duplicate_count(
+        d.select(F.substring("text", 1, 40).alias("text_key"))
+    ).withColumnRenamed("n_perfect_duplicates", "n_prefix40_duplicates")
+    return strict.crossJoin(norm)
+
+
+def q_ngram_df_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps companion to q_ngram_jaccard_pairs: how many distinct
+    grams and (doc_id, gram) occurrences NGRAM_DF_CAP drops on this input."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    df_counts = _word3grams(d).groupBy("gram").agg(F.count("*").alias("df"))
+    return df_counts.agg(
+        F.count("*").alias("n_grams_total"),
+        F.sum(F.when(F.col("df") > NGRAM_DF_CAP, 1).otherwise(0)).alias("n_grams_dropped"),
+        F.sum(F.when(F.col("df") > NGRAM_DF_CAP, F.col("df")).otherwise(0)).alias(
+            "n_occurrences_dropped"
+        ),
     )
 
 
@@ -335,7 +392,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
-        o.where((F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01"))
+        o.where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
@@ -461,6 +518,8 @@ QUERIES = {
     "exact_dedup_canonical": q_exact_dedup_canonical,
     "group_size_histogram": q_group_size_histogram,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_df_cap_stats": q_ngram_df_cap_stats,
+    "perfect_duplicate_count": q_perfect_duplicate_count,
     "same_text_different_lang": q_same_text_different_lang,
     "consistent_fields_by_source": q_consistent_fields_by_source,
     "token_stats": q_token_stats,
@@ -490,12 +549,12 @@ QUERIES = {
 
 ORACLE_SQL = {
     "exact_dup_groups": """
-        SELECT md5(text) AS text_hash,
+        SELECT md5(substr(text, 1, 40)) AS text_hash,
                count(*) AS group_size,
                min(doc_id) AS canonical_doc_id
         FROM documents
         WHERE length(trim(text)) > 0
-        GROUP BY md5(text)
+        GROUP BY md5(substr(text, 1, 40))
         HAVING count(*) >= 2
     """,
     "dedup_rate_by_source": """
@@ -527,11 +586,15 @@ ORACLE_SQL = {
                           i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])) AS gram
             FROM toks
             WHERE len(t) >= 3
+        ), rare AS (
+            SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 64
+        ), kept AS (
+            SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)
         ), sizes AS (
-            SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+            SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id
         ), inter AS (
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_inter
-            FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT doc_id_a, doc_id_b,
@@ -540,6 +603,35 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = doc_id_a
         JOIN sizes sb ON sb.doc_id = doc_id_b
         WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.8
+    """,
+    "ngram_df_cap_stats": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])) AS gram
+            FROM toks
+            WHERE len(t) >= 3
+        ), dfc AS (
+            SELECT gram, count(*) AS df FROM grams GROUP BY gram
+        )
+        SELECT count(*) AS n_grams_total,
+               CAST(sum(CASE WHEN df > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_grams_dropped,
+               CAST(sum(CASE WHEN df > 64 THEN df ELSE 0 END) AS BIGINT) AS n_occurrences_dropped
+        FROM dfc
+    """,
+    "perfect_duplicate_count": """
+        WITH strict AS (
+            SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_perfect_duplicates
+            FROM (SELECT count(*) AS n FROM documents GROUP BY text, lang, source, n_chars)
+        ), norm AS (
+            SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_prefix40_duplicates
+            FROM (SELECT count(*) AS n FROM documents GROUP BY substr(text, 1, 40))
+        )
+        SELECT n_perfect_duplicates, n_prefix40_duplicates FROM strict, norm
     """,
     "same_text_different_lang": """
         SELECT source, count(DISTINCT lang) AS n_langs, count(*) AS n_docs
@@ -554,7 +646,7 @@ ORACLE_SQL = {
         )
         SELECT bool_and(lang_const) AS lang_always_consistent,
                bool_and(n_chars_const) AS n_chars_always_consistent,
-               sum(CASE WHEN lang_const THEN 1 ELSE 0 END) AS n_groups_lang_const,
+               CAST(sum(CASE WHEN lang_const THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_lang_const,
                count(*) AS n_groups
         FROM per_group
     """,
@@ -679,7 +771,7 @@ ORACLE_SQL = {
     "order_priority_counts": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
-        WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         GROUP BY o_orderpriority
     """,
     "region_nation_rollup": """
@@ -704,8 +796,8 @@ ORACLE_SQL = {
             FROM events
         )
         SELECT user_id, count(*) AS n_events,
-               sum(CASE WHEN prev_ts IS NULL
-                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+               CAST(sum(CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                round(sum(value), 3) AS total_value
         FROM lagged GROUP BY user_id
     """,
