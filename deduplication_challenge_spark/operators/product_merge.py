@@ -25,6 +25,13 @@ Deliberate, documented relaxations (SURVEY.md §4.3.3 / §7.5):
     than a details entry (same information, relational shape).
   * completing SCALARS (eco_friendly, manufacturing_year) widen to arrays in
     the output — the reference does the same implicitly by storing sets.
+  * A8 literal fallback keeps ONE literal per key like the reference
+    (dict update = last write wins), with "last" pinned to max (row id,
+    array position) — the reference's iteration order is its input row
+    order, which matches when rows are visited by ascending id.
+  * rows whose interval value is null are skipped — the reference's
+    normalization layer never feeds aggregate_into_min_max_intervals a None
+    (float(None) would raise an uncaught TypeError there).
 
 Everything is expressed as groupBy aggregations + explode/agg for nested
 fields: one shuffle per nested field family plus one for the main group —
@@ -98,35 +105,60 @@ def _with_frequencies(rows: DataFrame, freq_source: DataFrame) -> DataFrame:
     return out
 
 
+def _pystr_double(c: Column) -> Column:
+    """Format a double like Python's str(float) in the value ranges product
+    data occupies (no scientific notation below 1e16).  The reference
+    stringifies interval bounds with str(float) (controller.py:440,396-398);
+    Java's Double.toString switches to scientific at 1e7 ("4.0E8"), so we go
+    through decimal(38,17) — Spark's double->decimal cast uses the shortest
+    decimal repr (BigDecimal.valueOf) — then strip trailing zeros."""
+    s = c.cast("decimal(38,17)").cast("string")
+    stripped = F.regexp_replace(s, r"0+$", "")
+    return F.when(
+        stripped.endswith("."), F.concat(stripped, F.lit("0"))
+    ).otherwise(stripped)
+
+
 def _interval_agg(
     products: DataFrame, field: str, keys: list[str], value_col: str, group_col: str
 ) -> DataFrame:
     """A8: explode one interval field, per (group, keys) compute min/max of
-    numeric values; literal (non-numeric) values survive only for keys with
-    no numeric value, one struct per distinct literal
-    (/root/reference/src/controller.py:404-450)."""
+    numeric values; a literal (non-numeric) value survives only for keys with
+    no numeric value, and then exactly ONE literal per key — the reference's
+    dict update keeps the last literal in iteration order
+    (/root/reference/src/controller.py:404-450); we pin "last" to the max
+    (row id, array position), which equals the reference's order when rows
+    are visited by ascending id.  Rows whose value is null are skipped (the
+    reference's normalization never feeds it a None)."""
     ex = (
-        products.select(F.col(group_col).alias("_g"), F.explode(field).alias("e"))
-        .select("_g", *[F.col(f"e.{k}").alias(k) for k in keys],
+        products.select(
+            F.col(group_col).alias("_g"),
+            F.col("id").alias("_ord"),
+            F.posexplode(field).alias("_pos", "e"),
+        )
+        .select("_g", "_ord", "_pos",
+                *[F.col(f"e.{k}").alias(k) for k in keys],
                 F.col(f"e.{value_col}").alias("_v"))
     )
     num = F.col("_v").cast("string").try_cast("double")
+    is_lit = num.isNull() & F.col("_v").isNotNull()
     grouped = ex.groupBy("_g", *keys).agg(
         F.min(num).alias("_min"),
         F.max(num).alias("_max"),
-        F.array_sort(
-            F.collect_set(F.when(num.isNull() & F.col("_v").isNotNull(), F.col("_v").cast("string")))
-        ).alias("_lits"),
+        # max_by over (is_literal, id, pos): picks the LAST literal when any
+        # literal exists, else null (numeric rows carry a null value expr)
+        F.max_by(
+            F.when(is_lit, F.col("_v").cast("string")),
+            F.struct(is_lit.cast("int"), F.col("_ord"), F.col("_pos")),
+        ).alias("_lit"),
     )
     numeric = grouped.where(F.col("_min").isNotNull()).select(
         "_g", *keys,
-        F.col("_min").cast("string").alias("min"),
-        F.col("_max").cast("string").alias("max"),
+        _pystr_double(F.col("_min")).alias("min"),
+        _pystr_double(F.col("_max")).alias("max"),
     )
-    literal = (
-        grouped.where(F.col("_min").isNull())
-        .select("_g", *keys, F.explode("_lits").alias("_lit"))
-        .select("_g", *keys, F.col("_lit").alias("min"), F.col("_lit").alias("max"))
+    literal = grouped.where(F.col("_min").isNull() & F.col("_lit").isNotNull()).select(
+        "_g", *keys, F.col("_lit").alias("min"), F.col("_lit").alias("max")
     )
     both = numeric.unionByName(literal)
     return both.groupBy("_g").agg(
@@ -148,58 +180,93 @@ def _color_agg(products: DataFrame, group_col: str) -> DataFrame:
 
 
 def _energy_agg(products: DataFrame, group_col: str) -> DataFrame:
-    """A9: per (qualitative, standard_label), min/max over all percentage
-    fields; -1.0 sentinel when no numeric present
-    (/root/reference/src/controller.py:355-402)."""
+    """A9 exactly as the reference (/root/reference/src/controller.py:355-402):
+    per entry, entry_max = greatest(-1.0, all percentage values) and
+    entry_min = least(values) or -1.0 when the entry has no numeric value —
+    so negative values participate, and an all-null entry drags the key's min
+    down to -1.0 even when other entries have numerics.  Per (qualitative,
+    standard_label): min of entry-mins, max of entry-maxes, stringified into
+    struct(qualitative, standard_label, min, max) like the reference's
+    output tuples (goldens mirror
+    /root/reference/src/tests/test_units.py::test_aggregate_energy_efficiency)."""
     ex = products.select(F.col(group_col).alias("_g"), F.explode(ENERGY_FIELD).alias("e"))
-
-    def _pos(c: str) -> Column:
-        v = F.col(f"e.{c}")
-        return F.when(v >= 0, v)
-
+    vals = [F.col("e.exact_percentage"), F.col("e.max_percentage"), F.col("e.min_percentage")]
+    # least/greatest skip nulls; all-null => null => coalesce to the sentinel
+    entry_min = F.coalesce(F.least(*vals), F.lit(-1.0))
+    entry_max = F.greatest(F.lit(-1.0), *vals)
     per_key = ex.groupBy(
         "_g",
         F.col("e.qualitative").alias("qualitative"),
         F.col("e.standard_label").alias("standard_label"),
     ).agg(
-        F.least(
-            F.min(_pos("exact_percentage")),
-            F.min(_pos("max_percentage")),
-            F.min(_pos("min_percentage")),
-        ).alias("_mn"),
-        F.greatest(
-            F.max(_pos("exact_percentage")),
-            F.max(_pos("max_percentage")),
-            F.max(_pos("min_percentage")),
-        ).alias("_mx"),
+        F.min(entry_min).alias("_mn"),
+        F.max(entry_max).alias("_mx"),
     )
     return per_key.select(
         "_g",
         F.struct(
-            F.coalesce(F.col("_mn"), F.lit(-1.0)).alias("min_percentage"),
-            F.coalesce(F.col("_mx"), F.lit(-1.0)).alias("max_percentage"),
             F.col("qualitative"),
             F.col("standard_label"),
+            _pystr_double(F.col("_mn")).alias("min"),
+            _pystr_double(F.col("_mx")).alias("max"),
         ).alias("s"),
     ).groupBy("_g").agg(F.sort_array(F.collect_list("s")).alias(ENERGY_FIELD))
 
 
 def _details_agg(products: DataFrame) -> DataFrame:
     """A11: provenance map field -> value(stringified) -> sorted page_urls,
-    serialized to compact JSON. Arrays/structs stringify via to_json (the
-    reference keys details by the whole normalized cell,
-    /root/reference/src/controller.py:103-118)."""
-    pairs = []
-    for f in _SCALAR_ELECTED:
-        pairs += [F.lit(f), F.col(f).cast("string")]
+    serialized to compact JSON.
+
+    Reference semantics (/root/reference/src/controller.py:104-168 +
+    main.py:21-66): details covers the MOST/LEAST-frequent elections and
+    every MERGE_BY_COMPLETING field; lengthiest-value fields (description,
+    product_summary), id, and page_url are NOT recorded (the reference's own
+    integration test pins details∩lengthiest == {}).  Collection cells are
+    keyed PER ELEMENT (compute_values_to_url_mapping iterates the cell), not
+    by the whole cell.  Stringification of nested entries uses to_json where
+    the reference keys raw tuples — engine formatting, same information;
+    booleans render 'True'/'False' like Python str."""
+
+    def _field_entries(f: str, value: Column) -> Column:
+        return F.struct(F.lit(f).alias("field"), value.alias("value"))
+
+    def _elem_entries(f: str):
+        # NB: a single-arg lambda — F.transform treats 2-arg lambdas as
+        # (element, index)
+        return lambda x: _field_entries(f, x)
+
+    def _json_entries(f: str):
+        return lambda x: _field_entries(f, F.to_json(x))
+
+    arrs: list[Column] = []
+    for f in MERGE_BY_MOST_FREQUENT + MERGE_BY_LEAST_FREQUENT:
+        arrs.append(F.array(_field_entries(f, F.col(f).cast("string"))))
     for f in MERGE_BY_COMPLETING_ARRAYS:
-        pairs += [F.lit(f), F.to_json(F.col(f))]
-    for f in ("eco_friendly", "manufacturing_year"):
-        pairs += [F.lit(f), F.col(f).cast("string")]
+        arrs.append(
+            F.transform(
+                F.coalesce(F.col(f), F.array().cast("array<string>")),
+                _elem_entries(f),
+            )
+        )
+    arrs.append(
+        F.array(_field_entries("eco_friendly", F.initcap(F.col("eco_friendly").cast("string"))))
+    )
+    arrs.append(
+        F.array(_field_entries("manufacturing_year", F.col("manufacturing_year").cast("string")))
+    )
     for f in list(INTERVAL_FIELDS) + [COLOR_FIELD, ENERGY_FIELD]:
-        pairs += [F.lit(f), F.to_json(F.col(f))]
+        arrs.append(
+            F.transform(
+                F.coalesce(F.col(f), F.array().cast(products.schema[f].dataType)),
+                _json_entries(f),
+            )
+        )
     entries = products.select(
-        IDENTIFIER, PAGE_URL, F.explode(F.create_map(*pairs)).alias("field", "value")
+        IDENTIFIER,
+        PAGE_URL,
+        F.explode(F.flatten(F.array(*arrs))).alias("e"),
+    ).select(
+        IDENTIFIER, PAGE_URL, F.col("e.field").alias("field"), F.col("e.value").alias("value")
     ).where(F.col("value").isNotNull())
     per_value = entries.groupBy(IDENTIFIER, "field", "value").agg(
         F.array_sort(F.collect_set(PAGE_URL)).alias("urls")
@@ -327,7 +394,9 @@ def consolidate_products(products: DataFrame) -> DataFrame:
         F.col(PAGE_URL),
         *INTERVAL_FIELDS,
         COLOR_FIELD, ENERGY_FIELD,
-        F.lit(None).cast("string").alias("details"),
+        # the reference initializes details on EVERY row and serializes empty
+        # provenance as json.dumps({}) (/root/reference/src/controller.py:652-655)
+        F.lit("{}").alias("details"),
     )
     cols = pt.columns
     return merged.withColumn("group_size", F.col("group_size").cast("int")) \

@@ -34,13 +34,16 @@ MERGE_BY_COMPLETING_ARRAYS = [
 ]
 MERGE_BY_COMPLETING_SCALARS = ["eco_friendly", "manufacturing_year"]
 INTERVAL_FIELDS = {
-    # field -> (key columns, numeric value column)
-    "production_capacity": (["time_frame", "type", "unit"], "quantity"),
-    "price": (["currency", "type"], "amount"),
-    "size": (["dimension", "qualitative", "type", "unit"], "value"),
-    "purity": (["qualitative", "type", "unit"], "value"),
-    "pressure_rating": (["qualitative", "type", "unit"], "value"),
-    "power_rating": (["qualitative", "type", "unit"], "value"),
+    # field -> (key columns, numeric value column) — the reference's exact A8
+    # aggregation keys (/root/reference/src/controller.py:292-303).  Non-key
+    # struct fields (e.g. price 'type') are dropped from merged output, as
+    # the reference does.
+    "production_capacity": (["time_frame", "unit"], "quantity"),
+    "price": (["currency"], "amount"),
+    "size": (["dimension", "unit"], "value"),
+    "purity": (["qualitative", "unit"], "value"),
+    "pressure_rating": (["qualitative", "unit"], "value"),
+    "power_rating": (["qualitative", "unit"], "value"),
 }
 COLOR_FIELD = "color"
 ENERGY_FIELD = "energy_efficiency"

@@ -1,0 +1,183 @@
+"""Goldens for the A8/A9 interval aggregations, mirroring the reference's own
+unit tests case for case (/root/reference/src/tests/test_units.py:
+test_aggregate_purity_no_conflict, test_aggregate_purity_conflict,
+test_aggregate_size, test_aggregate_prices, test_aggregate_energy_efficiency,
+test_aggregate_production_capacity) — same inputs, same expected
+key/min/max tuples, including the reference's str(float) formatting
+("400000000.0", not "4.0E8")."""
+
+import pytest
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from deduplication_challenge_spark.operators.product_merge import (
+    _energy_agg,
+    _interval_agg,
+)
+
+RATED = T.StructType([
+    T.StructField("qualitative", T.BooleanType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("unit", T.StringType()),
+    T.StructField("value", T.StringType()),
+])
+SIZE = T.StructType([
+    T.StructField("dimension", T.StringType()),
+    T.StructField("qualitative", T.BooleanType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("unit", T.StringType()),
+    T.StructField("value", T.StringType()),
+])
+PRICE = T.StructType([
+    T.StructField("amount", T.DoubleType()),
+    T.StructField("currency", T.StringType()),
+    T.StructField("type", T.StringType()),
+])
+CAPACITY = T.StructType([
+    T.StructField("quantity", T.LongType()),
+    T.StructField("time_frame", T.StringType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("unit", T.StringType()),
+])
+ENERGY = T.StructType([
+    T.StructField("exact_percentage", T.DoubleType()),
+    T.StructField("max_percentage", T.DoubleType()),
+    T.StructField("min_percentage", T.DoubleType()),
+    T.StructField("qualitative", T.StringType()),
+    T.StructField("standard_label", T.StringType()),
+])
+
+
+def _run_interval(spark, rows, elem_schema, keys, vcol):
+    """rows: list of per-product entry lists; each product gets id = index."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("fld", T.ArrayType(elem_schema)),
+    ])
+    df = spark.createDataFrame(
+        [(i + 1, entries) for i, entries in enumerate(rows)], schema
+    ).withColumn("_grp", F.lit("g"))
+    out = _interval_agg(df, "fld", keys, vcol, "_grp").collect()
+    assert len(out) <= 1
+    if not out:
+        return set()
+    return {tuple(e[k] for k in keys) + (e["min"], e["max"]) for e in out[0]["fld"]}
+
+
+def _run_energy(spark, rows):
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("energy_efficiency", T.ArrayType(ENERGY)),
+    ])
+    df = spark.createDataFrame(
+        [(i + 1, entries) for i, entries in enumerate(rows)], schema
+    ).withColumn("_grp", F.lit("g"))
+    out = _energy_agg(df, "_grp").collect()
+    if not out:
+        return set()
+    return {
+        (e["qualitative"], e["standard_label"], e["min"], e["max"])
+        for e in out[0]["energy_efficiency"]
+    }
+
+
+def test_aggregate_purity_no_conflict(spark):
+    rows = [
+        [(False, "exact", None, "99.998")],
+        [],
+        [(False, "exact", None, "90.998"),
+         (True, "exact", None, "high"),
+         (False, "exact", None, "89.998")],
+    ]
+    assert _run_interval(spark, rows, RATED, ["qualitative", "unit"], "value") == {
+        (True, None, "high", "high"),
+        (False, None, "89.998", "99.998"),
+    }
+
+
+def test_aggregate_purity_conflict(spark):
+    # literal 'high' shares a key with numerics -> literal dropped
+    rows = [
+        [(False, "exact", None, "99.998")],
+        [],
+        [(False, "exact", None, "90.998"),
+         (False, "exact", None, "high"),
+         (False, "exact", None, "89.998")],
+    ]
+    assert _run_interval(spark, rows, RATED, ["qualitative", "unit"], "value") == {
+        (False, None, "89.998", "99.998"),
+    }
+
+
+def test_aggregate_size(spark):
+    rows = [
+        [("Height", False, "exact", "in", "20.7"),
+         ("Width", False, "exact", "in", "16.9"),
+         ("Weight", False, "exact", "lbs", "190")],
+        [("Height", False, "exact", "in", "30.7"),
+         ("Weight", False, "exact", "lbs", "120")],
+        [("Height", False, "exact", "cm", "209")],
+    ]
+    assert _run_interval(spark, rows, SIZE, ["dimension", "unit"], "value") == {
+        ("Weight", "lbs", "120.0", "190.0"),
+        ("Height", "in", "20.7", "30.7"),
+        ("Height", "cm", "209.0", "209.0"),
+        ("Width", "in", "16.9", "16.9"),
+    }
+
+
+def test_aggregate_prices(spark):
+    rows = [
+        [(1796.280029296875, "AUD", "exact")],
+        [(1796.280029296875, "AUD", "min"), (1975.9100341796875, "AUD", "max")],
+        [],
+        [(140.0, "EUR", "exact")],
+        [(123.0, "EUR", "min"), (1975.9100341796875, "AUD", "max")],
+    ]
+    assert _run_interval(spark, rows, PRICE, ["currency"], "amount") == {
+        ("EUR", "123.0", "140.0"),
+        ("AUD", "1796.280029296875", "1975.9100341796875"),
+    }
+
+
+def test_aggregate_production_capacity(spark):
+    # pins the str(float) formatting: 400000000 -> '400000000.0', not '4.0E8'
+    rows = [
+        [(400000000, "Year", "exact", "Units")],
+        [(60000, "Month", "exact", "Units")],
+        [(1000, "Day", "exact", "Kilograms")],
+        [(60, "Year", "min", "Tons"), (70, "Year", "max", "Tons")],
+    ]
+    assert _run_interval(spark, rows, CAPACITY, ["time_frame", "unit"], "quantity") == {
+        ("Month", "Units", "60000.0", "60000.0"),
+        ("Day", "Kilograms", "1000.0", "1000.0"),
+        ("Year", "Tons", "60.0", "70.0"),
+        ("Year", "Units", "400000000.0", "400000000.0"),
+    }
+
+
+def test_aggregate_energy_efficiency(spark):
+    rows = [
+        None,
+        [(None, None, None, "high", None)],
+        [(40.0, None, None, None, None)],
+    ]
+    assert _run_energy(spark, rows) == {
+        (None, None, "40.0", "40.0"),
+        ("high", None, "-1.0", "-1.0"),
+    }
+
+
+def test_energy_all_null_entry_drags_min(spark):
+    # reference combine rule: an all-null entry contributes min=-1.0 even
+    # when another entry of the same key has numerics
+    rows = [
+        [(None, None, None, "high", "A")],
+        [(55.0, None, None, "high", "A")],
+    ]
+    assert _run_energy(spark, rows) == {("high", "A", "-1.0", "55.0")}
+
+
+def test_energy_negative_values_participate(spark):
+    rows = [[(-5.0, None, None, "low", "B")]]
+    assert _run_energy(spark, rows) == {("low", "B", "-5.0", "-1.0")}

@@ -32,8 +32,8 @@ FIXTURE = [
         size=[{"dimension": "height", "qualitative": False, "type": "exact",
                "unit": "cm", "value": "30"}],
         color=[{"original": "Ruby", "simple": "Red"}],
-        energy_efficiency=[{"exact_percentage": 80.0, "max_percentage": -1.0,
-                            "min_percentage": -1.0, "qualitative": "high",
+        energy_efficiency=[{"exact_percentage": 80.0, "max_percentage": None,
+                            "min_percentage": None, "qualitative": "high",
                             "standard_label": "A+"}],
     ),
     _row(
@@ -49,7 +49,7 @@ FIXTURE = [
                "unit": "cm", "value": "tall"}],
         color=[{"original": "Ruby", "simple": "Crimson"},
                {"original": "Sky", "simple": "Blue"}],
-        energy_efficiency=[{"exact_percentage": -1.0, "max_percentage": 92.0,
+        energy_efficiency=[{"exact_percentage": None, "max_percentage": 92.0,
                             "min_percentage": 75.0, "qualitative": "high",
                             "standard_label": "A+"}],
     ),
@@ -155,7 +155,7 @@ class TestIntervals:
         ee = result[10]["energy_efficiency"]
         assert len(ee) == 1
         assert ee[0]["qualitative"] == "high" and ee[0]["standard_label"] == "A+"
-        assert ee[0]["min_percentage"] == 75.0 and ee[0]["max_percentage"] == 92.0
+        assert ee[0]["min"] == "75.0" and ee[0]["max"] == "92.0"
 
     def test_color_rollup(self, result):
         colors = {c["original"]: c["simple"] for c in result[10]["color"]}
@@ -170,7 +170,23 @@ class TestDetailsProvenance:
         assert d["root_domain"]["alpha.com"] == [
             "https://alpha.com/p/10", "https://alpha.com/p/30"
         ]
-        assert d["description"]["tiny"] == ["https://beta.org/p/20"]
+
+    def test_details_excludes_lengthiest_fields(self, result):
+        # the reference never records lengthiest-value fields in details
+        # (/root/reference/src/tests/test_integration.py:64-79)
+        d = json.loads(result[10]["details"])
+        assert "description" not in d
+        assert "product_summary" not in d
+
+    def test_details_per_element_and_nested(self, result):
+        # collection cells are keyed per element, nested entries via to_json
+        d = json.loads(result[10]["details"])
+        assert d["intended_industries"]["farming"] == [
+            "https://alpha.com/p/10", "https://beta.org/p/20"
+        ]
+        assert d["intended_industries"]["construction"] == ["https://beta.org/p/20"]
+        assert d["color"]['{"original":"Ruby","simple":"Red"}'] == ["https://alpha.com/p/10"]
+        assert d["eco_friendly"]["True"] == ["https://alpha.com/p/10"]
 
     def test_source_urls(self, result):
         assert result[10]["source_urls"] == [
@@ -194,6 +210,12 @@ class TestPassthrough:
 
     def test_invalid_identifier_never_merges(self, result):
         assert result[50]["product_title"] == "NoId"
+
+    def test_passthrough_details_empty_json(self, result):
+        # reference serializes empty provenance as json.dumps({}) on every
+        # non-merged row (/root/reference/src/controller.py:652-655)
+        assert result[40]["details"] == "{}"
+        assert result[50]["details"] == "{}"
 
 
 class TestDeterminism:

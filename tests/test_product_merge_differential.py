@@ -141,11 +141,12 @@ def pandas_oracle(rows):
         rec["source_urls"] = sorted({r["page_url"] for r in members})
         rd = rec.get("root_domain") or ""
         rec["page_url"] = next((r["page_url"] for r in members if rd in r["page_url"]), None)
-        # intervals (A8): per key, numeric min/max stringified; literal
-        # fallback only when no numeric for that key
+        # intervals (A8, reference controller.py:404-450): per key, numeric
+        # min/max stringified; literal fallback only when no numeric for that
+        # key, keeping ONE literal per key (last write in id/position order)
         for f, (keys, vcol) in INTERVAL_FIELDS.items():
-            per_key = defaultdict(lambda: {"nums": [], "lits": set()})
-            for r in members:
+            per_key = defaultdict(lambda: {"nums": [], "lit": None})
+            for r in members:  # members already sorted by id
                 for e in r[f] or []:
                     k = tuple(e.get(c) for c in keys)
                     v = e.get(vcol)
@@ -154,14 +155,13 @@ def pandas_oracle(rows):
                     try:
                         per_key[k]["nums"].append(float(v))
                     except (TypeError, ValueError):
-                        per_key[k]["lits"].add(str(v))
+                        per_key[k]["lit"] = str(v)
             items = []
             for k, d in per_key.items():
                 if d["nums"]:
                     items.append((*k, str(min(d["nums"])), str(max(d["nums"]))))
-                else:
-                    for lit in sorted(d["lits"]):
-                        items.append((*k, lit, lit))
+                elif d["lit"] is not None:
+                    items.append((*k, d["lit"], d["lit"]))
             rec[f] = sorted(items, key=lambda t: tuple((x is not None, x) for x in t))
         # color rollup (A10)
         per_orig = defaultdict(set)
@@ -169,22 +169,31 @@ def pandas_oracle(rows):
             for e in r["color"] or []:
                 per_orig[e["original"]].add(e["simple"])
         rec["color"] = sorted((o, ", ".join(sorted(s))) for o, s in per_orig.items())
-        # energy (A9)
-        per_el = defaultdict(list)
+        # energy (A9, reference controller.py:355-402): per entry
+        # min=least(values) or -1.0, max=greatest(-1.0, values); negatives
+        # participate; an all-null entry drags the key's min to -1.0
+        per_el = {}
         for r in members:
             for e in r["energy_efficiency"] or []:
                 vals = [v for v in (e["exact_percentage"], e["max_percentage"], e["min_percentage"])
-                        if v is not None and v >= 0]
-                per_el[(e["qualitative"], e["standard_label"])].extend(vals)
+                        if v is not None]
+                emin = min(vals) if vals else -1.0
+                emax = max([-1.0] + vals)
+                key = (e["qualitative"], e["standard_label"])
+                if key in per_el:
+                    per_el[key] = (min(per_el[key][0], emin), max(per_el[key][1], emax))
+                else:
+                    per_el[key] = (emin, emax)
         rec["energy_efficiency"] = sorted(
-            (min(v) if v else -1.0, max(v) if v else -1.0, q, l)
-            for (q, l), v in per_el.items()
+            (q, l, str(mn), str(mx)) for (q, l), (mn, mx) in per_el.items()
         )
-        # details (A11), scalar fields only (nested stringification is
-        # engine-formatting; structure checked via the golden test instead)
+        # details (A11), scalar elections only (nested stringification is
+        # engine-formatting; structure checked via the golden test instead);
+        # lengthiest-value fields are never recorded (reference
+        # test_integration.py:64-79)
         details = defaultdict(lambda: defaultdict(set))
         for r in members:
-            for f in MERGE_BY_MOST_FREQUENT + MERGE_BY_LEAST_FREQUENT + MERGE_BY_LENGTHIEST_VALUE:
+            for f in MERGE_BY_MOST_FREQUENT + MERGE_BY_LEAST_FREQUENT:
                 if r[f] is not None:
                     details[f][str(r[f])].add(r["page_url"])
         rec["details_scalar"] = {
@@ -242,7 +251,7 @@ def test_intervals_match(diff):
         g_color = sorted((e["original"], e["simple"]) for e in (g["color"] or []))
         assert g_color == w["color"], rid
         g_energy = sorted(
-            (e["min_percentage"], e["max_percentage"], e["qualitative"], e["standard_label"])
+            (e["qualitative"], e["standard_label"], e["min"], e["max"])
             for e in (g["energy_efficiency"] or [])
         )
         assert g_energy == w["energy_efficiency"], rid
@@ -254,3 +263,5 @@ def test_details_scalar_match(diff):
         d = json.loads(got[rid]["details"])
         for f, vm in w["details_scalar"].items():
             assert d.get(f) == vm, (rid, f, d.get(f), vm)
+        for f in MERGE_BY_LENGTHIEST_VALUE:
+            assert f not in d, (rid, f)
