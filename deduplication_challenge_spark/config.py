@@ -41,6 +41,12 @@ class DedupConfig:
     simhash_bits: int = 64
     hamming_k: int = 3                 # accept pairs with Hamming distance <= k
     simhash_window: int = 4            # permute-and-sort neighbor window (Manku WWW'07)
+    simhash_hot_threshold: int = 100_000  # (chunk_idx, chunk_val) groups larger than
+                                       # this are sub-split so no single window task
+                                       # owns a pathologically hot chunk value; part
+                                       # of the pinned pair rule (oracle mirrors it)
+    simhash_split_bits: int = 4        # hot groups split into 2^bits ranges of the
+                                       # (sign-flipped) simhash sort order
     # --- suffix-array substring pass ---------------------------------------
     substr_min_len: int = 48           # chars of shared substring to count as dup
     substr_partitions: int = 32        # PINNED (not core-derived): partition-local

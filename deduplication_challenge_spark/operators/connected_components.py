@@ -20,9 +20,38 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _contract_edges_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized union-find over one partition's edge arrays: min-hook +
+    full pointer-jumping compression (Shiloach–Vishkin style), no per-edge
+    Python loop.  Returns (node, local_min_root) pairs for every non-root
+    node.  The component minimum can never be hooked (hooks always point a
+    larger root at a smaller one), so the fixpoint root of each component is
+    its minimum — same contract as a sequential union-find with min roots."""
+    nodes, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = idx[: len(src)], idx[len(src):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # full compression: parent <- parent[parent] to fixpoint
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        rs, rd = parent[si], parent[di]
+        lo = np.minimum(rs, rd)
+        hi = np.maximum(rs, rd)
+        mask = lo != hi
+        if not mask.any():
+            break
+        np.minimum.at(parent, hi[mask], lo[mask])
+    nonroot = parent != np.arange(len(nodes), dtype=np.int64)
+    return nodes[nonroot], nodes[parent[nonroot]]
 
 
 def _local_contract(edges: DataFrame) -> DataFrame:
@@ -31,32 +60,19 @@ def _local_contract(edges: DataFrame) -> DataFrame:
     root). Output is <= #distinct nodes per partition, duplicate-heavy edge
     sets (stars from several LSH bands / simhash chunks over the same
     cluster) collapse before the first shuffle, and the global fixpoint loop
-    then needs fewer iterations over fewer edges."""
+    then needs fewer iterations over fewer edges. The kernel is pure numpy
+    (no per-edge Python loop — the one row-at-a-time hot path flagged in
+    round 1)."""
 
     def contract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            root = x
-            while parent.setdefault(root, root) != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        for pdf in batches:
-            for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-                rs, rd = find(int(s)), find(int(d))
-                if rs != rd:
-                    lo, hi = (rs, rd) if rs < rd else (rd, rs)
-                    parent[hi] = lo
-        out_src, out_dst = [], []
-        for node in parent:
-            root = find(node)
-            if root != node:
-                out_src.append(node)
-                out_dst.append(root)
-        yield pd.DataFrame({"src": out_src, "dst": out_dst}, dtype="int64")
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({"src": [], "dst": []}, dtype="int64")
+            return
+        src = np.concatenate([c["src"].to_numpy(dtype=np.int64) for c in chunks])
+        dst = np.concatenate([c["dst"].to_numpy(dtype=np.int64) for c in chunks])
+        out_src, out_dst = _contract_edges_numpy(src, dst)
+        yield pd.DataFrame({"src": out_src, "dst": out_dst})
 
     return edges.mapInPandas(contract, schema="src long, dst long")
 

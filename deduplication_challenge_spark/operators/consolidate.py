@@ -67,7 +67,9 @@ def consolidate_cluster_slim_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     # longest text, tie -> min doc_id (stable sort preserves doc_id order;
     # idxmax returns the FIRST occurrence of the max)
     winner = pdf["text_len"].fillna(0).idxmax()
-    lang_counts = pdf["lang"].value_counts()
+    # value_counts drops NaN; all-null lang would leave it empty (the
+    # pipeline coalesces lang to '' in ingest, but direct callers may not)
+    lang_counts = pdf["lang"].fillna("").value_counts()
     top = lang_counts[lang_counts == lang_counts.max()]
     lang = sorted(top.index)[0]
     details = {

@@ -17,10 +17,12 @@ whole-stage codegen, neighbor access is window ``lag``, the accept test is
 
 Semantics (pinned; the oracle implements the identical rule, so recall
 goldens compare like-for-like): a pair is emitted iff for SOME chunk index
-both docs share the chunk value and lie within ``simhash_window`` positions
-in that chunk's (chunk_val, simhash, doc_id) order. Within a duplicate
-family this yields chains, which connected components then merge — cluster
-membership is preserved; only redundant intra-clique edges are dropped.
+both docs share the chunk value (and, in groups above
+``simhash_hot_threshold``, the same top-bits salt range — see
+``_salted_chunks``) and lie within ``simhash_window`` positions in that
+chunk's (chunk_val, simhash, doc_id) order. Within a duplicate family this
+yields chains, which connected components then merge — cluster membership is
+preserved; only redundant intra-clique edges are dropped.
 """
 
 from __future__ import annotations
@@ -52,24 +54,59 @@ def simhash_chunk_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+_SIGN_BIT = -(1 << 63)  # bit pattern 0x8000000000000000
+
+
+def _salted_chunks(chunks: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+    """Hot-group defusal: a pathologically hot (chunk_idx, chunk_val) — e.g.
+    a boilerplate chunk value shared by millions of docs — would otherwise
+    land in ONE window task.  Groups larger than cfg.simhash_hot_threshold
+    get a ``_salt`` = top cfg.simhash_split_bits bits of the sign-flipped
+    simhash, i.e. 2^bits contiguous ranges of the window's own sort order, so
+    neighbors in sort order stay together except at the few range boundaries.
+    Cold groups get salt 0.  Part of the PINNED pair rule — the pure-Python
+    oracle applies the identical split — and never silent: stats reports
+    hot_keys / hot_rows.
+
+    Returns (chunks + _salt column, stats row with chunk_rows / chunk_keys /
+    hot_keys / hot_rows)."""
+    counts = chunks.groupBy("chunk_idx", "chunk_val").agg(F.count("*").alias("_n"))
+    stats = counts.agg(
+        F.sum("_n").alias("chunk_rows"),
+        F.count("*").alias("chunk_keys"),
+        F.sum(F.when(F.col("_n") > cfg.simhash_hot_threshold, 1).otherwise(0)).alias("hot_keys"),
+        F.sum(F.when(F.col("_n") > cfg.simhash_hot_threshold, F.col("_n")).otherwise(0)).alias(
+            "hot_rows"
+        ),
+    )
+    hot = counts.where(F.col("_n") > cfg.simhash_hot_threshold).select(
+        "chunk_idx", "chunk_val", F.lit(True).alias("_hot")
+    )
+    flipped = F.col("simhash").bitwiseXOR(F.lit(_SIGN_BIT))
+    salt = F.when(
+        F.col("_hot").isNotNull(),
+        F.shiftrightunsigned(flipped, 64 - cfg.simhash_split_bits),
+    ).otherwise(F.lit(0))
+    salted = (
+        chunks.join(F.broadcast(hot), ["chunk_idx", "chunk_val"], "left")
+        .withColumn("_salt", salt.cast("long"))
+        .drop("_hot")
+    )
+    return salted, stats
+
+
 def hamming_pairs(signatures: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
     """signatures -> (edges(src, dst) with Hamming(simhash) <= k, stats).
 
-    stats: (chunk_rows, chunk_keys) — sizes of the sorted tables, recorded in
-    the stage manifest.
+    stats: (chunk_rows, chunk_keys, hot_keys, hot_rows) — sizes of the sorted
+    tables and the hot-group split counters, recorded in the stage manifest.
     """
-    chunks = simhash_chunk_table(signatures, cfg)
-    stats = chunks.agg(
-        F.count("*").alias("chunk_rows"),
-        F.countDistinct("chunk_idx", "chunk_val").alias("chunk_keys"),
-    )
-    # one sorted run per (chunk permutation, chunk value): the window never
-    # needs to cross chunk values, so partitioning by the pair gives ~2^16
-    # independent runs per permutation — massively parallel, and the
-    # same-chunk-value condition becomes structural. (A pathologically hot
-    # chunk value still lands in one task — the residual skew case; the
-    # mitigation at 10^12 docs is wider chunks, i.e. larger hamming_k+1.)
-    w = Window.partitionBy("chunk_idx", "chunk_val").orderBy("simhash", "doc_id")
+    chunks, stats = _salted_chunks(simhash_chunk_table(signatures, cfg), cfg)
+    # one sorted run per (chunk permutation, chunk value[, hot-group salt]):
+    # the window never needs to cross chunk values, so partitioning by the
+    # tuple gives ~2^16 independent runs per permutation — massively
+    # parallel, and the same-chunk-value condition becomes structural.
+    w = Window.partitionBy("chunk_idx", "chunk_val", "_salt").orderBy("simhash", "doc_id")
     lag_cols = [
         F.struct(
             F.lag("doc_id", i).over(w).alias("doc_id"),

@@ -195,12 +195,24 @@ def run_oracle(
     # SimHash permute-and-sort (identical pinned rule to operators/simhash.py):
     # per (chunk_idx, chunk_val) bucket, sort by (simhash, doc_id); compare
     # each doc to its `simhash_window` predecessors; accept Hamming <= k.
+    # Buckets above simhash_hot_threshold are sub-split into 2^split_bits
+    # ranges of the sign-flipped simhash sort order (_salted_chunks mirror).
     n_chunks = cfg.hamming_k + 1
     chunk_buckets: dict[tuple[int, int], list[tuple[int, int]]] = defaultdict(list)
     for doc_id, sh_val in simhashes.items():
         for idx, val in enumerate(H.hamming_chunks(sh_val, n_chunks)):
             chunk_buckets[(idx, val)].append((sh_val, doc_id))
+    split_buckets: list[list[tuple[int, int]]] = []
     for members in chunk_buckets.values():
+        if len(members) > cfg.simhash_hot_threshold:
+            by_salt: dict[int, list[tuple[int, int]]] = defaultdict(list)
+            for sh_val, doc_id in members:
+                flipped = (sh_val & 0xFFFFFFFFFFFFFFFF) ^ 0x8000000000000000
+                by_salt[flipped >> (64 - cfg.simhash_split_bits)].append((sh_val, doc_id))
+            split_buckets.extend(by_salt.values())
+        else:
+            split_buckets.append(members)
+    for members in split_buckets:
         members.sort()
         for j in range(1, len(members)):
             for i in range(max(0, j - cfg.simhash_window), j):

@@ -169,10 +169,28 @@ class DedupPipeline:
         cfg = self.cfg
         report = RunReport()
 
+        def ingest_counters(df: DataFrame, rows: int) -> dict:
+            # doc_id = xxhash64(url): a 64-bit collision (birthday bound
+            # ~4B docs) would silently merge distinct urls into one doc_id
+            # and corrupt cluster membership — audit it per run.  At 10^12
+            # docs collisions are certain; the scale path keeps url as the
+            # authoritative key (consolidate carries member_urls) and this
+            # counter makes any collision visible instead of silent.
+            audit = df.agg(
+                F.countDistinct("url").alias("u"),
+                F.countDistinct("doc_id").alias("d"),
+            ).collect()[0]
+            return {
+                "docs_scanned": rows,
+                "distinct_urls": int(audit["u"]),
+                "distinct_doc_ids": int(audit["d"]),
+                "doc_id_collisions": int(audit["u"]) - int(audit["d"]),
+            }
+
         docs, fp = self._run_stage(
             report, "ingest", "", input_desc,
             lambda: extract_pages(pages),
-            lambda df, rows: {"docs_scanned": rows},
+            ingest_counters,
         )
 
         sigs, fp = self._run_stage(

@@ -54,3 +54,29 @@ def test_negative_ids(spark):
     the component min."""
     got = _spark_cc(spark, [(-5, 2), (2, 7)])
     assert got == {-5: -5, 2: -5, 7: -5}
+
+
+def test_numpy_contract_kernel_matches_union_find():
+    """_contract_edges_numpy (the vectorized partition-local kernel) vs the
+    sequential union-find oracle on randomized edge sets."""
+    import numpy as np
+
+    from deduplication_challenge_spark.operators.connected_components import (
+        _contract_edges_numpy,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    for trial in range(20):
+        n = int(rng.integers(2, 200))
+        m = int(rng.integers(1, 500))
+        src = rng.integers(-n, n, size=m)
+        dst = rng.integers(-n, n, size=m)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        if not len(src):
+            continue
+        out_s, out_d = _contract_edges_numpy(src, dst)
+        got = dict(zip(out_s.tolist(), out_d.tolist()))
+        want = _oracle_cc(list(zip(src.tolist(), dst.tolist())))
+        want_nonroot = {k: v for k, v in want.items() if k != v}
+        assert got == want_nonroot, trial
