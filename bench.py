@@ -51,10 +51,31 @@ def main() -> None:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
+    # --- pruned-ingest variant: trust the shipped text column (scale-correct
+    # plan when extraction happened upstream; the scan never reads html)
+    workdir2 = tempfile.mkdtemp(prefix="dedup_bench_pruned_")
+    try:
+        pages_pruned = pages_from_documents(spark, sf_dir, with_html=False)
+        pipe2 = DedupPipeline(
+            spark, DedupConfig(), workdir2, include_substring=True, recompute_text=False
+        )
+        t0 = time.monotonic()
+        canonical2, report2 = pipe2.run(pages_pruned, input_desc=f"bench-pruned:{sf_dir}")
+        n_canonical2 = canonical2.count()
+        e2e_pruned = time.monotonic() - t0
+        timings["pipeline_ingest_pruned"] = round(report2.stages["ingest"].seconds, 3)
+        timings["pipeline_e2e_pruned"] = round(e2e_pruned, 3)
+        assert n_canonical2 == n_canonical, (
+            f"pruned-ingest path changed output: {n_canonical2} != {n_canonical}"
+        )
+    finally:
+        shutil.rmtree(workdir2, ignore_errors=True)
+
     # --- representative operator queries
     bench_queries = [
         "exact_dup_groups", "ngram_jaccard_pairs", "token_stats",
         "quality_scores", "lang_id_heuristic", "embedding_norms",
+        "embedding_near_dup_pairs_lsh",
         "pricing_summary", "top_customers", "region_nation_rollup",
         "events_user_sessions", "supplier_part_topk",
     ]

@@ -332,6 +332,17 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed scale variant of embedding_near_dup_pairs (rows-only:
+    bucketing is hash-based, not SQL-expressible).  Recall vs the exact
+    query is gated in tests/test_similarity.py (0.86 deterministic at
+    sf0.01 with 4 planes x 12 tables)."""
+    from deduplication_challenge_spark.operators.similarity import cosine_near_dup_pairs_lsh
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_near_dup_pairs_lsh(e, threshold=0.35, n_planes=4, n_tables=12, seed=42)
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint cardinality per doc (rows-only)."""
     from deduplication_challenge_spark.config import DedupConfig
@@ -532,6 +543,7 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "embedding_near_dup_pairs_lsh": q_embedding_near_dup_pairs_lsh,
     "doc_fingerprints": q_doc_fingerprints,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,

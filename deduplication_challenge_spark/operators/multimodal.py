@@ -1,10 +1,11 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing — schema, Arrow batch shape, partition sizing, UDF
-signatures — is real and tested; the actual codec work is STUBBED behind
-deterministic byte-level fakes (this container ships no image/audio libs;
-swap `_decode_image_bytes` etc. for Pillow/torchaudio/pyav on a real
-cluster — the DataFrame contract does not change).
+Image decode is REAL: PNG/BMP payloads are decoded to pixel arrays by the
+vendored pure-Python codecs (functions/imagecodec.py — RFC 2083 PNG +
+classic 24bpp BMP; no external imaging lib ships in this container).
+Non-image payloads (audio/video, unknown formats) fall back to opaque-bytes
+featurization — swapping in torchaudio/pyav on a real cluster changes only
+``_decode_payload``, never the DataFrame contract.
 
 Design rules for binary columns at scale:
   * payloads stay opaque bytes end-to-end; metadata lives in a sibling
@@ -47,20 +48,30 @@ ASSET_SCHEMA = T.StructType(
 )
 
 DECODED_SCHEMA = (
-    "asset_id long, kind string, ok boolean, n_bytes long, byte_entropy double, "
-    "features array<float>"
+    "asset_id long, kind string, ok boolean, decoded boolean, img_format string, "
+    "width int, height int, n_bytes long, byte_entropy double, features array<float>"
 )
 
-_REAL_CODECS = False  # flipped when real decode libs are wired in
+IMAGE_CODECS = ("png", "bmp")  # real vendored decoders; audio/video stay opaque
 
 
-def _decode_image_bytes(payload: bytes) -> np.ndarray:
-    """STUB decode. Real impl: PIL.Image.open(BytesIO(payload)) -> ndarray.
-    Deterministic fake: interpret bytes as a uint8 stream (keeps every
-    downstream shape/contract real)."""
-    if _REAL_CODECS:
-        raise NotImplementedError("wire Pillow here")
-    return np.frombuffer(payload or b"", dtype=np.uint8)
+def _decode_payload(payload: bytes) -> tuple[np.ndarray, str | None, int, int]:
+    """(uint8 stream, format|None, width, height).  PNG/BMP payloads decode
+    to real pixels (the stream is the pixel array, so entropy/histogram
+    features are over decoded image content); anything else is treated as an
+    opaque byte stream with format None."""
+    from deduplication_challenge_spark.functions.imagecodec import probe_image, decode_image
+
+    if not payload:
+        return np.empty(0, dtype=np.uint8), None, 0, 0
+    meta = probe_image(payload)
+    if meta is not None:
+        try:
+            px = decode_image(payload)
+            return px.reshape(-1), meta[0], meta[1], meta[2]
+        except Exception:  # malformed image -> opaque bytes
+            pass
+    return np.frombuffer(payload, dtype=np.uint8), None, 0, 0
 
 
 def _feature_vector(arr: np.ndarray, dim: int = 16) -> np.ndarray:
@@ -86,17 +97,22 @@ def decode_and_featurize(assets: DataFrame, feature_dim: int = 16) -> DataFrame:
                 "asset_id": pdf["asset_id"].to_numpy(),
                 "kind": pdf["kind"].to_numpy(),
                 "ok": np.zeros(n, dtype=bool),
+                "decoded": np.zeros(n, dtype=bool),
+                "img_format": [None] * n,
+                "width": np.zeros(n, dtype=np.int32),
+                "height": np.zeros(n, dtype=np.int32),
                 "n_bytes": np.zeros(n, dtype=np.int64),
                 "byte_entropy": np.zeros(n, dtype=np.float64),
                 "features": [None] * n,
             }
             for i, payload in enumerate(pdf["payload"].tolist()):
-                try:
-                    arr = _decode_image_bytes(payload)
-                except NotImplementedError:
-                    arr = np.empty(0, dtype=np.uint8)
+                arr, fmt, w, h = _decode_payload(payload)
                 out["n_bytes"][i] = 0 if payload is None else len(payload)
                 out["ok"][i] = arr.size > 0
+                out["decoded"][i] = fmt is not None
+                out["img_format"][i] = fmt
+                out["width"][i] = w
+                out["height"][i] = h
                 if arr.size:
                     counts = np.bincount(arr, minlength=256)
                     p = counts[counts > 0] / arr.size

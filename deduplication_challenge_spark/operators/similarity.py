@@ -89,6 +89,78 @@ def hyperplane_buckets(
     return embeddings.withColumn("bucket", bucket_udf("embedding"))
 
 
+def cosine_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs: candidates are pairs sharing a
+    hyperplane bucket in ANY of ``n_tables`` seeded tables (OR of ANDs);
+    exact cosine verification keeps pairs >= threshold.  Output schema and
+    row semantics match the exact cross-join query (vec_id_a < vec_id_b,
+    cosine rounded 6dp) minus LSH misses — recall vs the exact pairs is
+    gated in tests/test_similarity.py.
+
+    Regime note (honest scaling claim): bucket-equality LSH prunes
+    aggressively only in the high-cosine regime (near-dup embeddings,
+    cos >= ~0.9, where 16 planes x 4 tables give >90% recall while scanning
+    a tiny candidate fraction — the planted test pins this).  At low
+    thresholds like 0.35 (angle ~70 deg) the sign-bit collision probability
+    is ~0.61, so few planes and many tables are needed for recall and the
+    candidate fraction stays large; use the brute-force baseline there, or
+    raise the threshold.  Candidate generation is id-pairs only — embeddings
+    join back AFTER cross-table dedup, so vectors never ride through the
+    union/distinct shuffle."""
+    emb = embeddings.select("vec_id", "embedding")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    # one plane matrix for ALL tables (identical per-table seeds to the
+    # single-table generator, so recall numbers are reproducible), one Arrow
+    # pass computing every table's bucket, one equi-join on (table, bucket)
+    planes = np.concatenate(
+        [
+            np.random.Generator(np.random.PCG64(seed + 1000 * t)).standard_normal(
+                (dim, n_planes)
+            )
+            for t in range(n_tables)
+        ],
+        axis=1,
+    )  # (dim, n_tables * n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets_udf(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.vstack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ planes) > 0  # (n, T*P)
+        bk = bits.reshape(len(mat), n_tables, n_planes) @ weights  # (n, T)
+        return pd.Series(list(bk))
+
+    b = emb.select(
+        "vec_id", F.posexplode(buckets_udf("embedding")).alias("tbl", "bucket")
+    )
+    cand = (
+        b.select("tbl", "bucket", F.col("vec_id").alias("vec_id_a"))
+        .join(b.select("tbl", "bucket", F.col("vec_id").alias("vec_id_b")), ["tbl", "bucket"])
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
+    b2 = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
+    sim = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    return (
+        cand.join(a, "vec_id_a")
+        .join(b2, "vec_id_b")
+        .withColumn("cosine", F.round(sim, 6))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

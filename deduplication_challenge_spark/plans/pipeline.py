@@ -83,12 +83,18 @@ class DedupPipeline:
         workdir: str,
         include_substring: bool = True,
         substring_partitions: int | None = None,
+        recompute_text: bool = True,
     ) -> None:
         self.spark = spark
         self.cfg = cfg
         self.workdir = workdir
         self.include_substring = include_substring
         self.substring_partitions = substring_partitions
+        # False = trust the shipped text column (pure column pruning — the
+        # scan never reads html; the scale-correct plan when extraction
+        # already happened upstream). True exercises the byte-identical
+        # html->text invariant end-to-end.
+        self.recompute_text = recompute_text
         os.makedirs(workdir, exist_ok=True)
 
     # --- manifest plumbing -------------------------------------------------
@@ -99,7 +105,10 @@ class DedupPipeline:
         return os.path.join(self.workdir, f"{stage}.manifest.json")
 
     def _fingerprint(self, stage: str, upstream_fp: str, input_desc: str) -> str:
-        payload = "|".join([self.cfg.config_hash(), stage, upstream_fp, input_desc])
+        payload = "|".join(
+            [self.cfg.config_hash(), stage, upstream_fp, input_desc,
+             f"recompute_text={self.recompute_text}"]
+        )
         return hashlib.sha256(payload.encode()).hexdigest()[:24]
 
     def _load_manifest(self, stage: str) -> dict | None:
@@ -189,7 +198,7 @@ class DedupPipeline:
 
         docs, fp = self._run_stage(
             report, "ingest", "", input_desc,
-            lambda: extract_pages(pages),
+            lambda: extract_pages(pages, recompute_text=self.recompute_text),
             ingest_counters,
         )
 

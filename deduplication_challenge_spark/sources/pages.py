@@ -42,15 +42,25 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver documents table -> north-rule pages table (all Spark-side)."""
+def pages_from_documents(
+    spark: SparkSession, sf_dir: str, with_html: bool = True
+) -> DataFrame:
+    """Driver documents table -> north-rule pages table (all Spark-side).
+
+    ``with_html=False`` ships a null html column instead of synthesizing
+    html bytes — paired with ``extract_pages(recompute_text=False)`` this is
+    the pure-column-pruning ingest plan (the scale-correct path when text is
+    already extracted upstream; the scan then never touches html at all)."""
     docs = read_documents(spark, sf_dir)
+    html_col = (
+        _wrap_html(F.col("text")) if with_html else F.lit(None).cast("binary")
+    )
     return docs.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"), F.col("doc_id"))
         .alias("url"),
         (F.lit("2025-01-01 00:00:00").cast("timestamp")
          + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
-        _wrap_html(F.col("text")).alias("html"),
+        html_col.alias("html"),
         F.col("text"),
         F.col("lang"),
     )

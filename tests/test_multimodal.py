@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: schema, Arrow batch shape, deterministic
-feature contract (decode itself is stubbed — FIXTURES/multimodal note)."""
+"""Multimodal tests: schema, Arrow batch shape, deterministic feature
+contract, and REAL image decode through the vendored PNG/BMP codecs
+(non-image payloads featurize over opaque bytes)."""
 
 import numpy as np
 import pytest
@@ -30,7 +31,10 @@ class TestDecodeFeaturize:
         out = decode_and_featurize(assets)
         rows = out.collect()
         assert len(rows) == 6
-        assert out.columns == ["asset_id", "kind", "ok", "n_bytes", "byte_entropy", "features"]
+        assert out.columns == [
+            "asset_id", "kind", "ok", "decoded", "img_format", "width", "height",
+            "n_bytes", "byte_entropy", "features",
+        ]
 
     def test_feature_contract(self, spark, assets):
         rows = {r["asset_id"]: r for r in decode_and_featurize(assets, feature_dim=16).collect()}
@@ -67,3 +71,100 @@ class TestFrameSamplePlan:
         assert by_asset[6] == [0]
         # non-video assets excluded
         assert set(by_asset) == {5, 6}
+
+
+class TestImageCodecs:
+    """Vendored PNG/BMP codecs: byte-exact roundtrips incl. all five PNG
+    scanline filters, and spec-level rejects."""
+
+    def _img(self, h=13, w=17, c=3, seed=3):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    def test_png_roundtrip_channels(self, channels):
+        from deduplication_challenge_spark.functions.imagecodec import (
+            decode_png, encode_png, probe_png,
+        )
+
+        img = self._img(c=channels)
+        data = encode_png(img)
+        assert probe_png(data) == (17, 13, channels)
+        assert np.array_equal(decode_png(data), img)
+
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_png_roundtrip_all_filters(self, ftype):
+        from deduplication_challenge_spark.functions.imagecodec import (
+            decode_png, encode_png,
+        )
+
+        img = self._img(h=9, w=11, c=3, seed=ftype + 10)
+        assert np.array_equal(decode_png(encode_png(img, filter_type=ftype)), img)
+
+    def test_png_gradient_known_pixels(self):
+        from deduplication_challenge_spark.functions.imagecodec import (
+            decode_png, encode_png,
+        )
+
+        grad = np.zeros((4, 256, 1), dtype=np.uint8)
+        grad[:, :, 0] = np.arange(256, dtype=np.uint8)
+        out = decode_png(encode_png(grad, filter_type=1))
+        assert out[2, 200, 0] == 200
+
+    def test_bmp_roundtrip_with_padding(self):
+        from deduplication_challenge_spark.functions.imagecodec import (
+            decode_bmp, encode_bmp, probe_bmp,
+        )
+
+        img = self._img(h=5, w=3, c=3)  # 3*3=9 bytes/row -> padded to 12
+        data = encode_bmp(img)
+        assert probe_bmp(data) == (3, 5, 3)
+        assert np.array_equal(decode_bmp(data), img)
+
+    def test_rejects(self):
+        from deduplication_challenge_spark.functions.imagecodec import (
+            decode_image, probe_image,
+        )
+
+        assert probe_image(b"not an image") is None
+        assert decode_image(b"not an image") is None
+        assert decode_image(b"\x89PNG\r\n\x1a\nbroken") is None  # truncated header
+        assert probe_image(None) is None
+
+
+class TestRealImageDecode:
+    def test_png_assets_decode_to_pixels(self, spark):
+        """ok=true with real decoded pixel stats: a constant-color PNG has
+        entropy 0 over PIXELS even though its compressed bytes are high-
+        entropy — the discriminating check that decode is real."""
+        from deduplication_challenge_spark.functions.imagecodec import encode_png
+
+        flat = np.full((8, 8, 3), 200, dtype=np.uint8)
+        png = encode_png(flat)
+        # compressed payload bytes are NOT constant
+        assert len(set(png)) > 10
+        rows = [(1, "image", png, ("png", 8, 8, None))]
+        df = spark.createDataFrame(rows, ASSET_SCHEMA)
+        out = decode_and_featurize(df).collect()[0]
+        assert out["ok"] and out["decoded"]
+        assert out["img_format"] == "png"
+        assert (out["width"], out["height"]) == (8, 8)
+        assert out["byte_entropy"] == 0.0  # constant pixels, not bytes
+        feats = np.array(out["features"])
+        assert feats[int(200 / 256 * 16)] == 1.0  # all mass in the 200-bin
+
+    def test_bmp_asset_and_opaque_fallback(self, spark):
+        from deduplication_challenge_spark.functions.imagecodec import encode_bmp
+
+        rng = np.random.Generator(np.random.PCG64(5))
+        img = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+        rows = [
+            (1, "image", encode_bmp(img), ("bmp", 6, 6, None)),
+            (2, "audio", b"\x01\x02\x03\x04" * 64, ("wav", None, None, 1000)),
+        ]
+        df = spark.createDataFrame(rows, ASSET_SCHEMA)
+        out = {r["asset_id"]: r for r in decode_and_featurize(df).collect()}
+        assert out[1]["decoded"] and out[1]["img_format"] == "bmp"
+        assert (out[1]["width"], out[1]["height"]) == (6, 6)
+        assert not out[2]["decoded"] and out[2]["img_format"] is None
+        assert out[2]["ok"]  # opaque bytes still featurized
