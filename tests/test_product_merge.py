@@ -224,3 +224,28 @@ class TestDeterminism:
         again = {r["id"]: r for r in consolidate_products(df).collect()}
         for rid, row in result.items():
             assert row.asDict(True) == again[rid].asDict(True), rid
+
+
+class TestProbes:
+    def test_same_url_groups(self, spark):
+        from deduplication_challenge_spark.operators.probes import same_url_groups
+
+        df = spark.createDataFrame(
+            [(1, "u1"), (2, "u1"), (3, "u2"), (4, "u3"), (5, "u3"), (6, "u3")],
+            "id long, page_url string",
+        )
+        got = {(r["page_url"], r["n_rows"], r["min_id"])
+               for r in same_url_groups(df).collect()}
+        assert got == {("u1", 2, 1), ("u3", 3, 4)}
+
+    def test_identifier_group_sizes(self, spark):
+        from deduplication_challenge_spark.operators.probes import identifier_group_sizes
+
+        df = spark.createDataFrame(
+            [(1, "CAS-1"), (2, "CAS-1"), (3, ""), (4, ""), (5, "SKU: Not Available"),
+             (6, "SKU: Not Available"), (7, "CAS-2"), (8, None)],
+            "id long, product_identifier string",
+        )
+        got = {(r["product_identifier"], r["n_rows"])
+               for r in identifier_group_sizes(df).collect()}
+        assert got == {("CAS-1", 2)}
