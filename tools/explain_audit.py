@@ -118,6 +118,37 @@ def main() -> int:
         p,
     )
 
+    # 7. df-capped ngram join: no cartesian; the cap's aggregate is present
+    p = plan_text(eq.q_ngram_jaccard_pairs(spark, sf_dir))
+    check(
+        "ngram_jaccard_pairs",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        and p.count("HashAggregate") >= 4,
+        "equi-joins only; df-cap aggregate in plan",
+        p,
+    )
+
+    # 8. bucketed embedding pairs: candidates join is an equi-join on
+    # (tbl, bucket) — never a cartesian — and embeddings join back via
+    # broadcast or shuffled hash, not nested loop
+    p = plan_text(eq.q_embedding_near_dup_pairs_lsh(spark, sf_dir))
+    check(
+        "embedding_near_dup_pairs_lsh",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        "bucket equi-join; no cartesian anywhere",
+        p,
+    )
+
+    # 9. perfect-duplicate probe: two-level aggregate, no sort (the reference
+    # sorts the whole table; the Spark plan must not)
+    p = plan_text(eq.q_perfect_duplicate_count(spark, sf_dir))
+    check(
+        "perfect_duplicate_count",
+        "Sort " not in p and p.count("HashAggregate") >= 4,
+        "hash aggregates only, no global sort",
+        p,
+    )
+
     spark.stop()
     return 1 if failures else 0
 
