@@ -40,9 +40,9 @@ def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np
     out = row.astype(np.int32)
     if ftype == 0:  # None
         pass
-    elif ftype == 1:  # Sub
-        for x in range(bpp, len(out)):
-            out[x] = (out[x] + out[x - bpp]) & 0xFF
+    elif ftype == 1:  # Sub: out[x] = row[x] + out[x-bpp] == per-lane prefix sum
+        lanes = out.reshape(-1, bpp).astype(np.int64)
+        out = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.int32).reshape(-1)
     elif ftype == 2:  # Up
         out = (out + prev) & 0xFF
     elif ftype == 3:  # Average
