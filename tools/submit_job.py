@@ -19,26 +19,40 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="pages parquet path")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages parquet path")
+    src.add_argument(
+        "--table",
+        help="catalog table name (e.g. an Iceberg table 'catalog.db.pages'); "
+        "read via spark.read.table — partition pruning / snapshot isolation "
+        "come from the catalog's DataSourceV2 implementation",
+    )
     ap.add_argument("--workdir", required=True, help="stage checkpoint dir")
     ap.add_argument("--output", default=None, help="optional extra canonical copy")
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--substring-partitions", type=int, default=None)
+    ap.add_argument(
+        "--no-recompute-text", action="store_true",
+        help="trust the shipped text column (the scan never reads html)",
+    )
     args = ap.parse_args()
 
     from deduplication_challenge_spark.config import DedupConfig
     from deduplication_challenge_spark.plans.pipeline import DedupPipeline
 
     spark = SparkSession.builder.appName("dedup-pipeline").getOrCreate()
-    pages = spark.read.parquet(args.input)
+    pages = (
+        spark.read.table(args.table) if args.table else spark.read.parquet(args.input)
+    )
     pipe = DedupPipeline(
         spark,
         DedupConfig(),
         args.workdir,
         include_substring=not args.no_substring,
         substring_partitions=args.substring_partitions,
+        recompute_text=not args.no_recompute_text,
     )
-    canonical, report = pipe.run(pages, input_desc=args.input)
+    canonical, report = pipe.run(pages, input_desc=args.table or args.input)
     if args.output:
         canonical.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"stages": report.to_dict(), "counters": report.counters}))
