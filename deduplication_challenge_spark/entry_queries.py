@@ -111,13 +111,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = _word3grams(d)
     # df-cap: drop grams hotter than NGRAM_DF_CAP from both sides of the
     # Jaccard (numerator AND denominator) so the self-join stays bounded.
-    rare = (
+    # Hot grams are FEW by construction, so a broadcast anti-join against
+    # them is far cheaper than an equi-join with the (huge) rare set.
+    hot = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= NGRAM_DF_CAP)
+        .where(F.col("df") > NGRAM_DF_CAP)
         .select("gram")
     )
-    grams = grams.join(rare, "gram")
+    grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = grams.withColumnRenamed("doc_id", "doc_id_a")
     b = grams.withColumnRenamed("doc_id", "doc_id_b")

@@ -151,11 +151,25 @@ def cosine_near_dup_pairs_lsh(
     )
     a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
     b2 = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
-    sim = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+
+    # candidate volume in the low-threshold regime is large, so verification
+    # is the hot loop: one Arrow batch of numpy dot products beats the
+    # interpreted per-element HOF aggregate by a wide margin here
+    @F.pandas_udf("double")
+    def cos_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(ea.to_numpy()).astype(np.float64)
+        B = np.vstack(eb.to_numpy()).astype(np.float64)
+        s = (A * B).sum(axis=1) / (
+            np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        )
+        return pd.Series(s)
+
     return (
         cand.join(a, "vec_id_a")
         .join(b2, "vec_id_b")
-        .withColumn("cosine", F.round(sim, 6))
+        .withColumn("cosine", F.round(cos_udf("emb_a", "emb_b"), 6))
         .where(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b", "cosine")
     )
