@@ -1,7 +1,8 @@
-"""Mid-scale recall gate: 2,000-doc synthetic corpus (planted exact / near /
-substring duplicates, boilerplate, singletons) through the FULL Spark
-pipeline vs the pure-Python oracle at the pinned config — dup-pair recall
->= 0.99 (BASELINE.json) and exact cluster-assignment equality."""
+"""Mid-scale recall gate: 2,000- and 10,000-doc synthetic corpora (planted
+exact / near / substring duplicates, boilerplate, singletons) through the
+FULL Spark pipeline vs the pure-Python oracle at the pinned config —
+dup-pair recall >= 0.99 (BASELINE.json) and exact cluster-assignment
+equality at both sizes."""
 
 from collections import defaultdict
 
@@ -24,16 +25,17 @@ def _pairs(assign):
     }
 
 
-@pytest.fixture(scope="module")
-def midscale(spark, cfg, tmp_path_factory):
-    corpus = generate_corpus(n_docs=2000, seed=7)
+@pytest.fixture(scope="module", params=[2000, 10000], ids=["2k", "10k"])
+def midscale(request, spark, cfg, tmp_path_factory):
+    n = request.param
+    corpus = generate_corpus(n_docs=n, seed=7 if n == 2000 else 11)
     oracle = run_oracle(corpus.rows, cfg, include_substring=True)
     pages, _ = corpus_to_spark(spark, corpus)
     pipe = DedupPipeline(
         spark, cfg, str(tmp_path_factory.mktemp("mid")),
         include_substring=True, substring_partitions=1,  # co-locate: oracle is global
     )
-    canonical, report = pipe.run(pages, input_desc="mid2000")
+    canonical, report = pipe.run(pages, input_desc=f"mid{n}")
     return corpus, oracle, canonical.collect(), report
 
 
@@ -66,7 +68,10 @@ def test_planted_recall(midscale):
 
 def test_counters_consistent(midscale):
     corpus, _, rows, report = midscale
+    n = len(corpus.rows)
     c = report.counters
-    assert c["docs_scanned"] == 2000
-    assert c["signatures_emitted"] == 2000
-    assert sum(r["n_members"] for r in rows) == 2000
+    assert c["docs_scanned"] == n
+    assert c["signatures_emitted"] == n
+    assert sum(r["n_members"] for r in rows) == n
+    # doc_id collision audit: every url distinct, no silent hash merge
+    assert c["doc_id_collisions"] == 0
