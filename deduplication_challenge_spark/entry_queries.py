@@ -314,14 +314,25 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(e, queries_df, k=3, n_planes=8, seed=42)
 
 
+#: Pin for the EXACT (O(n^2) cross-join) pair baseline: only vectors with
+#: vec_id below this participate, so the quadratic query stays a small-n
+#: reference at any scale factor (at sf0.01 all 500 vectors qualify — the
+#: check is unchanged). The scale path is q_embedding_near_dup_pairs_lsh.
+EXACT_PAIRS_MAX_ID = 2000
+
+
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.35, vec_id_a < vec_id_b)
     — the vector-space analog of the text near-dup path. Exact (brute-force)
-    so DuckDB can oracle it; the LSH-bucketed scale variant is
-    operators/similarity.cosine_topk_lsh."""
+    so DuckDB can oracle it, pinned to vec_id < EXACT_PAIRS_MAX_ID; the
+    LSH-bucketed scale variant is q_embedding_near_dup_pairs_lsh."""
     from deduplication_challenge_spark.operators.similarity import _dot, _norm
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < EXACT_PAIRS_MAX_ID)
+        .select("vec_id", "embedding")
+    )
     a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
     sim = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
@@ -747,7 +758,8 @@ ORACLE_SQL = {
                     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
                6) AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(
+        WHERE a.vec_id < 2000 AND b.vec_id < 2000
+          AND round(
                  list_sum(list_transform(list_zip(a.embedding, b.embedding),
                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
