@@ -181,3 +181,27 @@ def test_energy_all_null_entry_drags_min(spark):
 def test_energy_negative_values_participate(spark):
     rows = [[(-5.0, None, None, "low", "B")]]
     assert _run_energy(spark, rows) == {("low", "B", "-5.0", "-1.0")}
+
+
+def test_pystr_double_matches_python_str(spark):
+    """_pystr_double must reproduce Python str(float) across the magnitude
+    range product data occupies (the reference stringifies bounds with
+    str(float); Java's Double.toString would diverge at >= 1e7)."""
+    import numpy as np
+
+    from deduplication_challenge_spark.operators.product_merge import _pystr_double
+
+    rng = np.random.Generator(np.random.PCG64(99))
+    vals = []
+    # integers at growing magnitudes (incl. the 4.0E8-style Java trap)
+    for exp in range(16):
+        vals.append(float(10 ** exp))
+        vals.append(float(4 * 10 ** exp))
+    # round decimals, float32-noise decimals, negatives
+    vals += [round(float(x), rng.integers(0, 6)) for x in rng.uniform(-1e6, 1e6, 200)]
+    vals += [float(np.float32(x)) for x in rng.uniform(-1e4, 1e4, 200)]
+    vals += [-1.0, 0.0, 0.5, 123.0, 1796.280029296875, 1975.9100341796875]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {r["i"]: r["s"] for r in df.select("i", _pystr_double(F.col("v")).alias("s")).collect()}
+    bad = [(v, got[i], str(v)) for i, v in enumerate(vals) if got[i] != str(v)]
+    assert not bad, bad[:10]
