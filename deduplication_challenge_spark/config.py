@@ -49,10 +49,16 @@ class DedupConfig:
                                        # (sign-flipped) simhash sort order
     # --- suffix-array substring pass ---------------------------------------
     substr_min_len: int = 48           # chars of shared substring to count as dup
-    substr_partitions: int = 32        # PINNED (not core-derived): partition-local
-                                       # results depend on co-location, so a fixed
-                                       # count keeps output identical across
-                                       # parallelism levels
+    substr_scope: str = "global"       # 'global': cross-partition anchor equi-join
+                                       # (partition-layout-independent output, no
+                                       # co-location needed — matches the oracle's
+                                       # global semantics); 'partition': local
+                                       # kernels (no anchor shuffle, optional char
+                                       # verification, documented approximation)
+    substr_partitions: int = 32        # partition-local scope only — PINNED (not
+                                       # core-derived): local results depend on
+                                       # co-location, so a fixed count keeps output
+                                       # identical across parallelism levels
     substr_winnow_window: int = 16     # anchor-sampling window W: detection
                                        # guaranteed for shared runs >=
                                        # min_len+W-1 chars; 0 = every position

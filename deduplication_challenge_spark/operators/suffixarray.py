@@ -271,6 +271,86 @@ def substring_pairs_partition_rolling(
     return _emit_runs_direct(pos_sorted, eq, owner, doc_ids)
 
 
+def _doc_anchor_frame(
+    doc_ids: np.ndarray, texts: list[str], min_len: int, winnow_window: int
+) -> pd.DataFrame:
+    """Per-doc winnowed anchor hashes -> (doc_id, anchor) rows, deduped per
+    doc.  The rolling hash is position-independent (H = sum (c_j+1)*B^j over
+    the window), and winnowing selects by the doc's OWN content only — so a
+    verbatim run shared by two docs yields identical anchor values no matter
+    which partition or batch either doc sits in.  This is what makes the
+    global (cross-partition) substring pass a plain equi-join."""
+    if not texts:
+        return pd.DataFrame({"doc_id": [], "anchor": []}, dtype="int64")
+    codes, starts, ends = _prepare(doc_ids, texts, min_len)
+    n = codes.size
+    owner_all = np.searchsorted(starts, np.arange(n), side="right") - 1
+    pos = np.nonzero((ends[owner_all] - np.arange(n)) >= min_len)[0]
+    if pos.size == 0:
+        return pd.DataFrame({"doc_id": [], "anchor": []}, dtype="int64")
+    with np.errstate(over="ignore"):
+        powers = np.empty(n + 1, dtype=np.uint64)
+        powers[0] = 1
+        np.cumprod(np.full(n, _ROLL_B, dtype=np.uint64), out=powers[1:])
+        inv_powers = np.empty(n, dtype=np.uint64)
+        inv_powers[0] = 1
+        np.cumprod(np.full(n - 1, _ROLL_B_INV, dtype=np.uint64), out=inv_powers[1:])
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum((codes.astype(np.uint64) + np.uint64(1)) * powers[:n], out=prefix[1:])
+        h = (prefix[pos + min_len] - prefix[pos]) * inv_powers[pos]
+    owner_pos = np.searchsorted(starts, pos, side="right") - 1
+    if winnow_window > 1:
+        sel = _winnow_positions(pos, h, owner_pos, winnow_window)
+        pos, h, owner_pos = pos[sel], h[sel], owner_pos[sel]
+    out = pd.DataFrame(
+        {"doc_id": doc_ids[owner_pos], "anchor": h.view(np.int64)}
+    ).drop_duplicates()
+    return out
+
+
+def substring_pairs_global(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """GLOBAL exact-substring pass: per-doc winnowed anchor hashes as rows,
+    one equi-join on the anchor value — cross-partition pairs found with no
+    co-location requirement, and the output is partition-layout-independent
+    by construction (no pinned partition count needed for determinism).
+
+    Guarantee (winnowing, Schleimer SIGMOD'03): two docs sharing a verbatim
+    run >= min_len + winnow_window - 1 chars select at least one common
+    anchor inside it.  Edges are star edges per anchor group (min doc_id ->
+    member), linear in group size — a boilerplate anchor shared by millions
+    of docs can never go quadratic (same shape as operators/lsh.py).
+    Pairing is by 64-bit hash equality (collision odds ~2^-64 per anchor);
+    char-level verification would require shipping text windows through the
+    shuffle, which the partition-local kernels offer via cfg.substr_verify.
+
+    Scale note: the anchor shuffle is ~2/(winnow_window+1) x corpus
+    positions x 16 bytes; winnow_window is the shuffle-size vs
+    detection-floor knob (W=16 -> ~12% of positions; W=128 -> ~1.5% with a
+    min_len+127-char floor)."""
+    min_len = cfg.substr_min_len
+    winnow = cfg.substr_winnow_window
+    sel = docs.select("doc_id", "text").where(F.length("text") >= min_len)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _doc_anchor_frame(
+                    pdf["doc_id"].to_numpy(), pdf["text"].fillna("").tolist(),
+                    min_len, winnow,
+                )
+
+    anchors = sel.mapInPandas(gen, schema="doc_id long, anchor long")
+    mins = anchors.groupBy("anchor").agg(
+        F.min("doc_id").alias("src"), F.count("*").alias("_n")
+    )
+    return (
+        anchors.join(mins.where(F.col("_n") >= 2), "anchor")
+        .where(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+
+
 def substring_pairs(
     docs: DataFrame,
     cfg: DedupConfig,

@@ -223,7 +223,13 @@ class DedupPipeline:
             sim_tagged = sim_edges.select("src", "dst", F.lit("simhash").alias("origin"))
             parts = [lsh_tagged, sim_tagged]
             if self.include_substring:
-                sub = suffixarray.substring_pairs(docs, cfg, self.substring_partitions)
+                # explicit substring_partitions forces the partition-local
+                # kernels (tests pin co-location to compare against local
+                # goldens); otherwise cfg.substr_scope picks the pass
+                if self.substring_partitions is None and cfg.substr_scope == "global":
+                    sub = suffixarray.substring_pairs_global(docs, cfg)
+                else:
+                    sub = suffixarray.substring_pairs(docs, cfg, self.substring_partitions)
                 parts.append(sub.select("src", "dst", F.lit("substring").alias("origin")))
             allp = parts[0]
             for p in parts[1:]:

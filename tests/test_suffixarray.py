@@ -118,3 +118,58 @@ class TestRollingEquivalence:
             a = "x" * pad_a + " " + shared + " endA"
             b = "y" * pad_b + " " + shared + " endB"
             assert _pairs_rolling([1, 2], [a, b], 48, False, 16) == {(1, 2)}
+
+
+class TestGlobalAnchorPass:
+    """substring_pairs_global: cross-partition exact-substring detection via
+    the anchor equi-join — partition-layout-independent by construction."""
+
+    @pytest.fixture(scope="class")
+    def corpus_df(self, spark):
+        rng = np.random.Generator(np.random.PCG64(23))
+        vocab = [f"w{i}" for i in range(300)]
+        texts = []
+        for _ in range(80):
+            texts.append(" ".join(vocab[int(rng.integers(300))] for _ in range(80)))
+        for i in range(0, 16, 2):
+            shared = " ".join(vocab[int(rng.integers(300))] for _ in range(30))
+            texts[i] += " " + shared + f" tail{i}"
+            texts[i + 1] = f"head{i} " + shared + " " + texts[i + 1]
+        ids = list(range(2000, 2000 + len(texts)))
+        df = spark.createDataFrame(list(zip(ids, texts)), "doc_id long, text string")
+        return ids, texts, df
+
+    def _global(self, df, cfg, repartition=None):
+        from deduplication_challenge_spark.operators.suffixarray import (
+            substring_pairs_global,
+        )
+
+        d = df.repartition(repartition) if repartition else df
+        return {
+            (r["src"], r["dst"])
+            for r in substring_pairs_global(d, cfg).collect()
+        }
+
+    def test_equals_local_kernel_when_colocated(self, spark, cfg, corpus_df):
+        from deduplication_challenge_spark.operators.suffixarray import substring_pairs
+
+        ids, texts, df = corpus_df
+        local = {
+            (r["src"], r["dst"])
+            for r in substring_pairs(df, cfg, num_partitions=1).collect()
+        }
+        assert self._global(df, cfg) == local
+
+    def test_partition_layout_independent(self, spark, cfg, corpus_df):
+        _, _, df = corpus_df
+        base = self._global(df, cfg)
+        for parts in (2, 7, 32):
+            assert self._global(df, cfg, repartition=parts) == base, parts
+
+    def test_cross_partition_pairs_found(self, spark, cfg, corpus_df):
+        """The local pass only finds co-located pairs; the global pass must
+        find every planted pair under ANY partitioning."""
+        ids, _, df = corpus_df
+        planted = {(ids[i], ids[i + 1]) for i in range(0, 16, 2)}
+        got = self._global(df, cfg, repartition=16)
+        assert planted <= got
