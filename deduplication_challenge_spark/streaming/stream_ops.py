@@ -15,6 +15,7 @@ they run deterministically to completion on the sandbox (no real queue).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,6 +45,49 @@ def stream_exact_dedup(pages_stream: DataFrame, watermark: str = "1 hour") -> Da
         docs.withColumn("text_hash", F.sha2("text", 256))
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
+def stream_near_dup(pages_stream: DataFrame, cfg=None, watermark: str = "1 hour") -> DataFrame:
+    """Streaming NEAR-dup suppression via a canopy key: each doc's minimum
+    LSH band-bucket hash (one Arrow pass — shingles -> MinHash -> band
+    hashes -> min), deduped with watermark-bounded state.
+
+    Detection contract (documented, deliberately weaker than batch):
+    byte-identical and signature-identical docs ALWAYS share the canopy key
+    (identical bands => identical min); partially-similar docs are caught
+    when their minimum-valued band collides, which for Jaccard s is at least
+    s^rows per band and concentrates on the argmin band.  Full recall stays
+    with the batch pipeline — this operator is the bounded-state frontline
+    filter that keeps obvious re-crawls out of the batch input, the only
+    viable stateful contract at crawl scale (state per canopy key, evicted
+    at the watermark horizon)."""
+    from deduplication_challenge_spark.config import DedupConfig
+    from deduplication_challenge_spark.functions import hashing as H
+    from deduplication_challenge_spark.functions.textnorm import shingles
+
+    cfg = cfg or DedupConfig()
+    a, b = H.minhash_params(cfg.num_perm, cfg.seed, cfg.minhash_prime)
+
+    @F.pandas_udf("long")
+    def canopy_udf(text: pd.Series) -> pd.Series:
+        out: list[int | None] = [None] * len(text)
+        for i, t in enumerate(text.tolist()):
+            sh = shingles(t or "", cfg.shingle_k)
+            if not sh:
+                continue  # null -> coalesced to a per-url key below
+            sig = H.minhash_signature(H.hash64_batch(sh, seed=cfg.seed), a, b, cfg.minhash_prime)
+            out[i] = int(H.band_hashes(sig, cfg.bands, cfg.rows, cfg.seed).min())
+        return pd.Series(out, dtype="Int64")
+
+    docs = extract_pages(pages_stream)
+    # shingle-less (empty/tiny) docs key on their url so they never co-bucket
+    # with each other or with real band hashes
+    canopy = F.coalesce(canopy_udf("text"), F.xxhash64(F.lit("empty:"), F.col("url")))
+    return (
+        docs.withColumn("canopy", canopy)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["canopy"])
     )
 
 

@@ -68,3 +68,49 @@ class TestWindowCounts:
         assert got.get((0, "en")) == 2
         assert got.get((0, "de")) == 1
         assert got.get((10, "en")) == 2
+
+
+class TestStreamNearDup:
+    def test_near_identical_recrawls_suppressed(self, spark, tmp_path_factory):
+        """Byte-identical and signature-identical re-crawls share the canopy
+        key and dedupe; distinct content survives; empty docs never
+        co-bucket with each other."""
+        from deduplication_challenge_spark.streaming.stream_ops import stream_near_dup
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+        other = ("completely different words about completely different "
+                 "topics nothing shared at all here friend ") * 4
+        rows = [
+            ("https://s/1", TS, None, base, "en"),
+            ("https://s/2", TS + dt.timedelta(minutes=1), None, base, "en"),  # exact re-crawl
+            ("https://s/3", TS + dt.timedelta(minutes=2), None, other, "en"),
+            ("https://s/4", TS + dt.timedelta(minutes=3), None, "", "en"),    # empty
+            ("https://s/5", TS + dt.timedelta(minutes=4), None, "", "en"),    # empty
+        ]
+        path = str(tmp_path_factory.mktemp("neardup_in"))
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        ckpt = str(tmp_path_factory.mktemp("ckpt_neardup"))
+        stream = read_page_stream(spark, path)
+        name = run_to_completion(stream_near_dup(stream, watermark="1 hour"), ckpt)
+        out = spark.sql(f"SELECT * FROM {name}").collect()
+        urls = sorted(r["url"] for r in out)
+        # one survivor of the base pair; both empties survive (url-keyed)
+        assert len([u for u in urls if u in ("https://s/1", "https://s/2")]) == 1
+        assert "https://s/3" in urls
+        assert "https://s/4" in urls and "https://s/5" in urls
+
+    def test_is_streaming_and_bounded_state(self, spark, tmp_path_factory):
+        from deduplication_challenge_spark.streaming.stream_ops import stream_near_dup
+
+        path = str(tmp_path_factory.mktemp("neardup_in2"))
+        spark.createDataFrame(
+            [("https://s/9", TS, None, "hello world " * 20, "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        stream = read_page_stream(spark, path)
+        df = stream_near_dup(stream)
+        assert df.isStreaming
+        assert "canopy" in df.columns
