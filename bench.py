@@ -73,7 +73,7 @@ def main() -> None:
 
     # --- representative operator queries
     bench_queries = [
-        "exact_dup_groups", "ngram_jaccard_pairs", "token_stats",
+        "prefix40_dup_groups", "ngram_jaccard_pairs", "token_stats",
         "quality_scores", "lang_id_heuristic", "embedding_norms",
         "embedding_near_dup_pairs_lsh",
         "pricing_summary", "top_customers", "region_nation_rollup",

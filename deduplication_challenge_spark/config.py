@@ -63,8 +63,11 @@ class DedupConfig:
                                        # guaranteed for shared runs >=
                                        # min_len+W-1 chars; 0 = every position
     substr_verify: bool = False        # char-level verification of hash-equal
-                                       # windows (2^-64 collision odds without;
-                                       # the gathers dominate traffic with)
+                                       # windows, honored in BOTH scopes
+                                       # (2^-64 collision odds without; local
+                                       # kernels pay gather traffic, the
+                                       # global pass ships the min_len-char
+                                       # window through the anchor shuffle)
     # --- signatures ---------------------------------------------------------
     emit_fingerprints: bool = False    # winnowing fingerprints are an optional
                                        # output (doc-fingerprint op); the dedup
@@ -80,6 +83,16 @@ class DedupConfig:
             )
         if self.pair_mode not in ("star", "all_pairs"):
             raise ValueError(f"unknown pair_mode {self.pair_mode!r}")
+        if self.substr_scope not in ("global", "partition"):
+            raise ValueError(f"unknown substr_scope {self.substr_scope!r}")
+        # JVM shifts are mod-64: split_bits=0 would make the Spark salt a
+        # no-op-shift of the full hash (shattering hot groups) while the
+        # Python oracle computes >> 64 == 0 (no split) — forbid the whole
+        # range where engine and pinned oracle could disagree
+        if not (1 <= self.simhash_split_bits <= 63):
+            raise ValueError(
+                f"simhash_split_bits must be in 1..63, got {self.simhash_split_bits}"
+            )
 
     def config_hash(self) -> str:
         """Stable hash stamped into stage manifests for resume validation."""

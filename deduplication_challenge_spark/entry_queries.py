@@ -26,10 +26,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # dedup family over documents  (SURVEY §2.4 A12/A13; north-rule operators)
 # ---------------------------------------------------------------------------
 
-def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups — hash-groupBy on a normalized text key (A12 analog,
-    S1 scan).  The key is a 40-char prefix hash so the check is non-vacuous on
-    driver data (full texts are all distinct at sf0.01; prefixes collide)."""
+def q_prefix40_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-duplicate groups — hash-groupBy on the md5 of a 40-char text
+    prefix (A12 analog, S1 scan).  Named for what it computes: docs sharing a
+    prefix, a non-vacuous probe on driver data (full texts are all distinct
+    at sf0.01; prefixes collide).  TRUE exact-text grouping is covered by
+    exact_dedup_canonical / perfect_duplicate_count and by the real operator
+    in operators/exact.py."""
     return (
         _t(spark, sf_dir, "documents")
         .where(F.length(F.trim("text")) > 0)
@@ -356,6 +359,23 @@ def q_embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFram
     return cosine_near_dup_pairs_lsh(e, threshold=0.35, n_planes=4, n_tables=12, seed=42)
 
 
+def q_embedding_lsh_missed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-coverage audit, driver-visible (rows-only by design): the exact
+    near-dup pairs (pinned id range, same rule as embedding_near_dup_pairs)
+    that the LSH-bucketed scale variant did NOT emit.  spark_rows IS the
+    miss count — recall = 1 - rows/|exact| — so a recall regression in the
+    scale path shows up directly in CORRECTNESS, not only in pytest gates
+    (LSH pairs are exact-cosine-verified, hence always a SUBSET of the exact
+    pairs; the anti-join measures the only possible deviation)."""
+    exact = q_embedding_near_dup_pairs(spark, sf_dir)
+    lsh_pairs = q_embedding_near_dup_pairs_lsh(spark, sf_dir).where(
+        (F.col("vec_id_a") < EXACT_PAIRS_MAX_ID) & (F.col("vec_id_b") < EXACT_PAIRS_MAX_ID)
+    )
+    return exact.join(
+        lsh_pairs.select("vec_id_a", "vec_id_b"), ["vec_id_a", "vec_id_b"], "left_anti"
+    )
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint cardinality per doc (rows-only)."""
     from deduplication_challenge_spark.config import DedupConfig
@@ -537,7 +557,7 @@ def q_canonical_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "exact_dup_groups": q_exact_dup_groups,
+    "prefix40_dup_groups": q_prefix40_dup_groups,
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "exact_dedup_canonical": q_exact_dedup_canonical,
     "group_size_histogram": q_group_size_histogram,
@@ -557,6 +577,7 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_near_dup_pairs_lsh": q_embedding_near_dup_pairs_lsh,
+    "embedding_lsh_missed_pairs": q_embedding_lsh_missed_pairs,
     "doc_fingerprints": q_doc_fingerprints,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -573,7 +594,7 @@ QUERIES = {
 
 
 ORACLE_SQL = {
-    "exact_dup_groups": """
+    "prefix40_dup_groups": """
         SELECT md5(substr(text, 1, 40)) AS text_hash,
                count(*) AS group_size,
                min(doc_id) AS canonical_doc_id

@@ -128,7 +128,11 @@ def consolidate(docs_with_cluster: DataFrame, min_group_size: int = 2) -> DataFr
     single = dc.where(F.col("n_members") < min_group_size)
 
     # slim columns through the Arrow boundary; winning text joined back
-    # JVM-side (broadcast when winners are few, shuffle join otherwise — AQE)
+    # JVM-side.  The lazy localCheckpoint lets slim (one row per multi-member
+    # cluster — tiny next to docs) be referenced twice without recomputing
+    # the Arrow kernel: once for the distinct winner ids that SEMI-JOIN-prune
+    # the docs build side explicitly (not left to AQE), once for the final
+    # text attach.
     slim = (
         multi.select(
             "cluster_id", "doc_id", "url", "warc_ts", "lang",
@@ -138,9 +142,12 @@ def consolidate(docs_with_cluster: DataFrame, min_group_size: int = 2) -> DataFr
         .applyInPandas(
             lambda pdf: consolidate_cluster_slim_pdf(pdf), schema=CANONICAL_SLIM_SCHEMA
         )
+        .localCheckpoint(eager=False)
     )
-    winner_text = docs_with_cluster.select(
-        F.col("doc_id").alias("winner_doc_id"), F.col("text")
+    winner_ids = slim.select(F.col("winner_doc_id").alias("doc_id")).distinct()
+    winner_text = (
+        docs_with_cluster.join(winner_ids, "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("winner_doc_id"), F.col("text"))
     )
     consolidated = slim.join(winner_text, "winner_doc_id").select(
         "cluster_id", "doc_id", "url", "warc_ts", "text", "lang",

@@ -111,12 +111,21 @@ def _pystr_double(c: Column) -> Column:
     stringifies interval bounds with str(float) (controller.py:440,396-398);
     Java's Double.toString switches to scientific at 1e7 ("4.0E8"), so we go
     through decimal(38,17) — Spark's double->decimal cast uses the shortest
-    decimal repr (BigDecimal.valueOf) — then strip trailing zeros."""
+    decimal repr (BigDecimal.valueOf) — then strip trailing zeros.
+
+    Regime guard: outside |v| in [1e-16, 1e16) the decimal route would
+    corrupt silently (>=1e21 overflows decimal(38,17) -> NULL; <~1e-17
+    collapses to '0.0'), so those values fall back to the plain
+    double->string cast — Java scientific notation instead of Python's, but
+    VISIBLE rather than nulled/zeroed (goldens only pin the in-regime
+    range)."""
+    in_regime = (F.abs(c) < F.lit(1e16)) & ((F.abs(c) >= F.lit(1e-16)) | (c == F.lit(0.0)))
     s = c.cast("decimal(38,17)").cast("string")
     stripped = F.regexp_replace(s, r"0+$", "")
-    return F.when(
+    pretty = F.when(
         stripped.endswith("."), F.concat(stripped, F.lit("0"))
     ).otherwise(stripped)
+    return F.when(in_regime, pretty).otherwise(c.cast("string"))
 
 
 def _interval_agg(

@@ -66,22 +66,46 @@ def cosine_topk_bruteforce(
     )
 
 
+#: per-executor cache of deterministic hyperplane matrices — planes depend
+#: only on (dim, n_planes, n_tables, seed), and dim is read off the first
+#: Arrow batch, so NO driver-side metadata job (`.first()`) is ever needed
+#: to build buckets (every executor derives the identical matrix).
+_PLANES_CACHE: dict[tuple[int, int, int, int], np.ndarray] = {}
+
+
+def _planes_for(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """(dim, n_tables*n_planes) hyperplane matrix; table t's block uses seed
+    ``seed + 1000*t`` so multi-table results equal t independent tables."""
+    key = (dim, n_planes, n_tables, seed)
+    mat = _PLANES_CACHE.get(key)
+    if mat is None:
+        mat = np.concatenate(
+            [
+                np.random.Generator(np.random.PCG64(seed + 1000 * t)).standard_normal(
+                    (dim, n_planes)
+                )
+                for t in range(n_tables)
+            ],
+            axis=1,
+        )
+        _PLANES_CACHE[key] = mat
+    return mat
+
+
 def hyperplane_buckets(
     embeddings: DataFrame, n_planes: int = 16, seed: int = 42, dim: int | None = None
 ) -> DataFrame:
     """Adds an LSH bucket key: sign bits of dot products with seeded random
-    hyperplanes, packed into a long. Vectorized numpy inside one Arrow UDF."""
-    if dim is None:
-        first = embeddings.select(F.size("embedding").alias("d")).first()
-        dim = int(first["d"]) if first else 0
-    rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.standard_normal((dim, n_planes))
+    hyperplanes, packed into a long. Vectorized numpy inside one Arrow UDF;
+    the plane matrix is derived lazily from the batch's own width (``dim``
+    kept as an explicit override), so no metadata job runs per call."""
 
     @F.pandas_udf(LongType())
     def bucket_udf(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype="int64")
         mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        planes = _planes_for(dim or mat.shape[1], n_planes, 1, seed)
         bits = (mat @ planes) > 0  # (n, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series(bits @ weights)
@@ -114,20 +138,10 @@ def cosine_near_dup_pairs_lsh(
     join back AFTER cross-table dedup, so vectors never ride through the
     union/distinct shuffle."""
     emb = embeddings.select("vec_id", "embedding")
-    first = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"]) if first else 0
     # one plane matrix for ALL tables (identical per-table seeds to the
     # single-table generator, so recall numbers are reproducible), one Arrow
-    # pass computing every table's bucket, one equi-join on (table, bucket)
-    planes = np.concatenate(
-        [
-            np.random.Generator(np.random.PCG64(seed + 1000 * t)).standard_normal(
-                (dim, n_planes)
-            )
-            for t in range(n_tables)
-        ],
-        axis=1,
-    )  # (dim, n_tables * n_planes)
+    # pass computing every table's bucket, one equi-join on (table, bucket);
+    # the matrix is derived from the batch width — no driver metadata job
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @F.pandas_udf("array<long>")
@@ -135,6 +149,7 @@ def cosine_near_dup_pairs_lsh(
         if len(col) == 0:
             return pd.Series([], dtype="object")
         mat = np.vstack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        planes = _planes_for(mat.shape[1], n_planes, n_tables, seed)
         bits = (mat @ planes) > 0  # (n, T*P)
         bk = bits.reshape(len(mat), n_tables, n_planes) @ weights  # (n, T)
         return pd.Series(list(bk))

@@ -272,22 +272,37 @@ def substring_pairs_partition_rolling(
 
 
 def _doc_anchor_frame(
-    doc_ids: np.ndarray, texts: list[str], min_len: int, winnow_window: int
+    doc_ids: np.ndarray,
+    texts: list[str],
+    min_len: int,
+    winnow_window: int,
+    with_window: bool = False,
 ) -> pd.DataFrame:
     """Per-doc winnowed anchor hashes -> (doc_id, anchor) rows, deduped per
     doc.  The rolling hash is position-independent (H = sum (c_j+1)*B^j over
     the window), and winnowing selects by the doc's OWN content only — so a
     verbatim run shared by two docs yields identical anchor values no matter
     which partition or batch either doc sits in.  This is what makes the
-    global (cross-partition) substring pass a plain equi-join."""
+    global (cross-partition) substring pass a plain equi-join.
+
+    ``with_window=True`` (cfg.substr_verify) additionally ships the
+    min_len-char window text under each anchor, so the join key becomes
+    (anchor, win) — exact char-level verification through the shuffle at
+    ~min_len bytes extra per anchor."""
     if not texts:
-        return pd.DataFrame({"doc_id": [], "anchor": []}, dtype="int64")
+        cols = {"doc_id": pd.Series([], dtype="int64"), "anchor": pd.Series([], dtype="int64")}
+        if with_window:
+            cols["win"] = pd.Series([], dtype="object")
+        return pd.DataFrame(cols)
     codes, starts, ends = _prepare(doc_ids, texts, min_len)
     n = codes.size
     owner_all = np.searchsorted(starts, np.arange(n), side="right") - 1
     pos = np.nonzero((ends[owner_all] - np.arange(n)) >= min_len)[0]
     if pos.size == 0:
-        return pd.DataFrame({"doc_id": [], "anchor": []}, dtype="int64")
+        cols = {"doc_id": pd.Series([], dtype="int64"), "anchor": pd.Series([], dtype="int64")}
+        if with_window:
+            cols["win"] = pd.Series([], dtype="object")
+        return pd.DataFrame(cols)
     with np.errstate(over="ignore"):
         powers = np.empty(n + 1, dtype=np.uint64)
         powers[0] = 1
@@ -302,10 +317,12 @@ def _doc_anchor_frame(
     if winnow_window > 1:
         sel = _winnow_positions(pos, h, owner_pos, winnow_window)
         pos, h, owner_pos = pos[sel], h[sel], owner_pos[sel]
-    out = pd.DataFrame(
-        {"doc_id": doc_ids[owner_pos], "anchor": h.view(np.int64)}
-    ).drop_duplicates()
-    return out
+    cols = {"doc_id": doc_ids[owner_pos], "anchor": h.view(np.int64)}
+    if with_window:
+        cols["win"] = [
+            codes[p : p + min_len].tobytes().decode("utf-32-le") for p in pos
+        ]
+    return pd.DataFrame(cols).drop_duplicates()
 
 
 def substring_pairs_global(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -320,15 +337,19 @@ def substring_pairs_global(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     member), linear in group size — a boilerplate anchor shared by millions
     of docs can never go quadratic (same shape as operators/lsh.py).
     Pairing is by 64-bit hash equality (collision odds ~2^-64 per anchor);
-    char-level verification would require shipping text windows through the
-    shuffle, which the partition-local kernels offer via cfg.substr_verify.
+    with cfg.substr_verify=True the min_len-char window text rides along
+    and the join key becomes (anchor, win) — exact char-level verification,
+    honored in BOTH scopes (the Python oracle honors the same flag), at
+    ~min_len extra chars per shuffled anchor.
 
     Scale note: the anchor shuffle is ~2/(winnow_window+1) x corpus
-    positions x 16 bytes; winnow_window is the shuffle-size vs
-    detection-floor knob (W=16 -> ~12% of positions; W=128 -> ~1.5% with a
-    min_len+127-char floor)."""
+    positions x 16 bytes (+~min_len chars when substr_verify);
+    winnow_window is the shuffle-size vs detection-floor knob (W=16 ->
+    ~12% of positions; W=64 -> ~3% with a min_len+63-char floor; W=128 ->
+    ~1.5% with a min_len+127-char floor)."""
     min_len = cfg.substr_min_len
     winnow = cfg.substr_winnow_window
+    with_window = cfg.substr_verify
     sel = docs.select("doc_id", "text").where(F.length("text") >= min_len)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -336,15 +357,17 @@ def substring_pairs_global(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
             if len(pdf):
                 yield _doc_anchor_frame(
                     pdf["doc_id"].to_numpy(), pdf["text"].fillna("").tolist(),
-                    min_len, winnow,
+                    min_len, winnow, with_window,
                 )
 
-    anchors = sel.mapInPandas(gen, schema="doc_id long, anchor long")
-    mins = anchors.groupBy("anchor").agg(
+    schema = "doc_id long, anchor long" + (", win string" if with_window else "")
+    key = ["anchor", "win"] if with_window else ["anchor"]
+    anchors = sel.mapInPandas(gen, schema=schema)
+    mins = anchors.groupBy(*key).agg(
         F.min("doc_id").alias("src"), F.count("*").alias("_n")
     )
     return (
-        anchors.join(mins.where(F.col("_n") >= 2), "anchor")
+        anchors.join(mins.where(F.col("_n") >= 2), key)
         .where(F.col("doc_id") != F.col("src"))
         .select("src", F.col("doc_id").alias("dst"))
         .distinct()

@@ -49,19 +49,36 @@ def stream_exact_dedup(pages_stream: DataFrame, watermark: str = "1 hour") -> Da
 
 
 def stream_near_dup(pages_stream: DataFrame, cfg=None, watermark: str = "1 hour") -> DataFrame:
-    """Streaming NEAR-dup suppression via a canopy key: each doc's minimum
-    LSH band-bucket hash (one Arrow pass — shingles -> MinHash -> band
-    hashes -> min), deduped with watermark-bounded state.
+    """Streaming NEAR-dup suppression via a canopy key: (each doc's minimum
+    LSH band-bucket hash, coarse length bucket), deduped with
+    watermark-bounded state.  One Arrow pass computes shingles -> MinHash ->
+    band hashes -> min.
 
     Detection contract (documented, deliberately weaker than batch):
     byte-identical and signature-identical docs ALWAYS share the canopy key
-    (identical bands => identical min); partially-similar docs are caught
-    when their minimum-valued band collides, which for Jaccard s is at least
-    s^rows per band and concentrates on the argmin band.  Full recall stays
-    with the batch pipeline — this operator is the bounded-state frontline
-    filter that keeps obvious re-crawls out of the batch input, the only
-    viable stateful contract at crawl scale (state per canopy key, evicted
-    at the watermark horizon)."""
+    (identical bands => identical min, identical length bucket);
+    partially-similar docs are caught when their minimum-valued band
+    collides, which for Jaccard s is at least s^rows per band and
+    concentrates on the argmin band.  Full recall stays with the batch
+    pipeline — this operator is the bounded-state frontline filter that
+    keeps obvious re-crawls out of the batch input, the only viable
+    stateful contract at crawl scale (state per canopy key, evicted at the
+    watermark horizon).
+
+    PRECISION / data-loss risk (explicit): suppression happens on canopy-key
+    equality alone — no similarity verification is possible inside
+    dropDuplicatesWithinWatermark, so two DISSIMILAR docs whose argmin band
+    hashes collide (prob ~s^rows per band pair for Jaccard s, plus ~2^-64
+    raw hash collisions at crawl scale) would be silently suppressed.  Two
+    mitigations: (1) the key includes a coarse doubling length bucket
+    (floor(log2(1 + len/64))), so colliding docs must ALSO be within ~2x in
+    length — near-dups almost always are, random collisions almost never;
+    (2) at production scale, route this operator's output to a staging sink
+    and feed the BATCH pipeline from the raw stream on a lag — suppressed
+    rows are then recoverable and the canopy filter only decides what is
+    processed eagerly, never what is kept.  Near-dup pairs that straddle a
+    length-bucket boundary lose suppression (recall, not correctness —
+    batch catches them)."""
     from deduplication_challenge_spark.config import DedupConfig
     from deduplication_challenge_spark.functions import hashing as H
     from deduplication_challenge_spark.functions.textnorm import shingles
@@ -84,10 +101,15 @@ def stream_near_dup(pages_stream: DataFrame, cfg=None, watermark: str = "1 hour"
     # shingle-less (empty/tiny) docs key on their url so they never co-bucket
     # with each other or with real band hashes
     canopy = F.coalesce(canopy_udf("text"), F.xxhash64(F.lit("empty:"), F.col("url")))
+    # coarse doubling length bucket: docs must be within ~2x in length to
+    # co-suppress — kills virtually all random band-hash collisions while
+    # keeping true near-dups (which share most of their text) together
+    len_bucket = F.floor(F.log2(F.lit(1.0) + F.length(F.coalesce("text", F.lit(""))) / F.lit(64.0)))
     return (
         docs.withColumn("canopy", canopy)
+        .withColumn("len_bucket", len_bucket.cast("int"))
         .withWatermark("warc_ts", watermark)
-        .dropDuplicatesWithinWatermark(["canopy"])
+        .dropDuplicatesWithinWatermark(["canopy", "len_bucket"])
     )
 
 

@@ -205,3 +205,18 @@ def test_pystr_double_matches_python_str(spark):
     got = {r["i"]: r["s"] for r in df.select("i", _pystr_double(F.col("v")).alias("s")).collect()}
     bad = [(v, got[i], str(v)) for i, v in enumerate(vals) if got[i] != str(v)]
     assert not bad, bad[:10]
+
+
+def test_pystr_double_out_of_regime_is_visible(spark):
+    """Outside |v| in [1e-16, 1e16) the decimal route would NULL (overflow)
+    or zero (underflow) the bound; the guard must fall back to the plain
+    double->string cast so the value stays visible (ADVICE r2)."""
+    from deduplication_challenge_spark.operators.product_merge import _pystr_double
+
+    vals = [1e21, -1e21, 1e-17, -1e-17, 5e22, 1e300]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {r["i"]: r["s"] for r in df.select("i", _pystr_double(F.col("v")).alias("s")).collect()}
+    for i, v in enumerate(vals):
+        assert got[i] is not None, v          # never silently nulled
+        assert got[i] not in ("0.0", "-0.0"), v  # never collapsed to zero
+        assert float(got[i]) == v, (v, got[i])   # round-trips to the value

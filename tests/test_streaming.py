@@ -114,3 +114,22 @@ class TestStreamNearDup:
         df = stream_near_dup(stream)
         assert df.isStreaming
         assert "canopy" in df.columns
+        assert "len_bucket" in df.columns  # widened key: canopy + length
+
+    def test_length_bucket_guards_precision(self, spark):
+        """The canopy key includes a doubling length bucket: docs ~2x apart
+        in length can never co-suppress (random band-hash collisions between
+        dissimilar docs are killed), while a 4% near-dup edit stays in the
+        same bucket."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(100,), (1000,), (1040,), (4000,)], "n int"
+        ).select(
+            "n",
+            F.floor(F.log2(F.lit(1.0) + F.col("n") / F.lit(64.0))).cast("int").alias("b"),
+        )
+        b = {r["n"]: r["b"] for r in df.collect()}
+        assert b[100] != b[1000]      # dissimilar lengths -> different buckets
+        assert b[1000] == b[1040]     # 4% edit -> same bucket
+        assert b[1000] != b[4000]

@@ -173,3 +173,16 @@ class TestGlobalAnchorPass:
         planted = {(ids[i], ids[i + 1]) for i in range(0, 16, 2)}
         got = self._global(df, cfg, repartition=16)
         assert planted <= got
+
+    def test_verify_honored_in_global_scope(self, spark, cfg, corpus_df):
+        """cfg.substr_verify=True in the GLOBAL pass ships the min_len-char
+        window and joins on (anchor, win) — exact char verification, same
+        pairs as the hash-only path on collision-free data (ADVICE r2: the
+        flag used to be silently ignored in global scope)."""
+        from dataclasses import replace
+
+        ids, _, df = corpus_df
+        planted = {(ids[i], ids[i + 1]) for i in range(0, 16, 2)}
+        verified = self._global(df, replace(cfg, substr_verify=True), repartition=8)
+        assert verified == self._global(df, cfg, repartition=8)
+        assert planted <= verified

@@ -108,11 +108,11 @@ def main() -> int:
         p,
     )
 
-    # 6. exact dedup groups: single shuffle (one Exchange)
-    p = plan_text(eq.q_exact_dup_groups(spark, sf_dir))
+    # 6. prefix-dup groups: single shuffle (one Exchange)
+    p = plan_text(eq.q_prefix40_dup_groups(spark, sf_dir))
     n_exchanges = p.count("Exchange")
     check(
-        "exact_dup_groups",
+        "prefix40_dup_groups",
         n_exchanges <= 2,  # hashpartitioning for the agg (+AQE read)
         f"{n_exchanges} Exchange nodes (partial agg does the heavy lifting)",
         p,
