@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image decode is REAL: PNG/BMP payloads are decoded to pixel arrays by the
-vendored pure-Python codecs (functions/imagecodec.py — RFC 2083 PNG +
-classic 24bpp BMP; no external imaging lib ships in this container).
-Non-image payloads (audio/video, unknown formats) fall back to opaque-bytes
-featurization — swapping in torchaudio/pyav on a real cluster changes only
-``_decode_payload``, never the DataFrame contract.
+Image AND audio decode are REAL: PNG/BMP payloads decode to pixel arrays by
+the vendored pure-Python codecs (functions/imagecodec.py — RFC 2083 PNG +
+classic 24bpp BMP), WAV payloads decode to PCM sample arrays
+(functions/audiocodec.py — RIFF integer PCM, 8/16-bit); no external media
+lib ships in this container.  Remaining payloads (video, unknown formats)
+fall back to opaque-bytes featurization — swapping in pyav on a real
+cluster changes only ``_decode_payload``, never the DataFrame contract.
 
 Design rules for binary columns at scale:
   * payloads stay opaque bytes end-to-end; metadata lives in a sibling
@@ -48,30 +49,48 @@ ASSET_SCHEMA = T.StructType(
 )
 
 DECODED_SCHEMA = (
-    "asset_id long, kind string, ok boolean, decoded boolean, img_format string, "
-    "width int, height int, n_bytes long, byte_entropy double, features array<float>"
+    "asset_id long, kind string, ok boolean, decoded boolean, media_format string, "
+    "width int, height int, sample_rate int, n_frames long, "
+    "n_bytes long, byte_entropy double, features array<float>"
 )
 
-IMAGE_CODECS = ("png", "bmp")  # real vendored decoders; audio/video stay opaque
+IMAGE_CODECS = ("png", "bmp")  # real vendored decoders
+AUDIO_CODECS = ("wav",)        # real vendored decoder; video stays opaque
 
 
-def _decode_payload(payload: bytes) -> tuple[np.ndarray, str | None, int, int]:
-    """(uint8 stream, format|None, width, height).  PNG/BMP payloads decode
-    to real pixels (the stream is the pixel array, so entropy/histogram
-    features are over decoded image content); anything else is treated as an
-    opaque byte stream with format None."""
+def _decode_payload(payload: bytes) -> tuple[np.ndarray, str | None, int, int, int, int]:
+    """(uint8 stream, format|None, width, height, sample_rate, n_frames).
+    PNG/BMP payloads decode to real pixels and WAV payloads to real PCM
+    samples (the stream is the decoded content, so entropy/histogram
+    features measure pixels/samples, not container bytes); anything else is
+    treated as an opaque byte stream with format None."""
+    from deduplication_challenge_spark.functions.audiocodec import decode_wav, probe_wav
     from deduplication_challenge_spark.functions.imagecodec import probe_image, decode_image
 
     if not payload:
-        return np.empty(0, dtype=np.uint8), None, 0, 0
+        return np.empty(0, dtype=np.uint8), None, 0, 0, 0, 0
     meta = probe_image(payload)
     if meta is not None:
         try:
             px = decode_image(payload)
-            return px.reshape(-1), meta[0], meta[1], meta[2]
+            return px.reshape(-1), meta[0], meta[1], meta[2], 0, 0
         except Exception:  # malformed image -> opaque bytes
             pass
-    return np.frombuffer(payload, dtype=np.uint8), None, 0, 0
+    wmeta = probe_wav(payload)
+    if wmeta is not None:
+        try:
+            samples, rate = decode_wav(payload)
+            if samples.dtype == np.int16:
+                # top byte, recentered to unsigned — an 8-bit view of the
+                # waveform so the histogram features live on the same
+                # (0, 256) scale as pixels/bytes
+                stream = ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+            else:
+                stream = samples
+            return stream.reshape(-1), "wav", 0, 0, rate, samples.shape[0]
+        except Exception:  # malformed WAV -> opaque bytes
+            pass
+    return np.frombuffer(payload, dtype=np.uint8), None, 0, 0, 0, 0
 
 
 def _feature_vector(arr: np.ndarray, dim: int = 16) -> np.ndarray:
@@ -98,21 +117,25 @@ def decode_and_featurize(assets: DataFrame, feature_dim: int = 16) -> DataFrame:
                 "kind": pdf["kind"].to_numpy(),
                 "ok": np.zeros(n, dtype=bool),
                 "decoded": np.zeros(n, dtype=bool),
-                "img_format": [None] * n,
+                "media_format": [None] * n,
                 "width": np.zeros(n, dtype=np.int32),
                 "height": np.zeros(n, dtype=np.int32),
+                "sample_rate": np.zeros(n, dtype=np.int32),
+                "n_frames": np.zeros(n, dtype=np.int64),
                 "n_bytes": np.zeros(n, dtype=np.int64),
                 "byte_entropy": np.zeros(n, dtype=np.float64),
                 "features": [None] * n,
             }
             for i, payload in enumerate(pdf["payload"].tolist()):
-                arr, fmt, w, h = _decode_payload(payload)
+                arr, fmt, w, h, rate, frames = _decode_payload(payload)
                 out["n_bytes"][i] = 0 if payload is None else len(payload)
                 out["ok"][i] = arr.size > 0
                 out["decoded"][i] = fmt is not None
-                out["img_format"][i] = fmt
+                out["media_format"][i] = fmt
                 out["width"][i] = w
                 out["height"][i] = h
+                out["sample_rate"][i] = rate
+                out["n_frames"][i] = frames
                 if arr.size:
                     counts = np.bincount(arr, minlength=256)
                     p = counts[counts > 0] / arr.size

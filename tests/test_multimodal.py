@@ -1,6 +1,6 @@
 """Multimodal tests: schema, Arrow batch shape, deterministic feature
-contract, and REAL image decode through the vendored PNG/BMP codecs
-(non-image payloads featurize over opaque bytes)."""
+contract, and REAL image/audio decode through the vendored PNG/BMP/WAV
+codecs (undecodable payloads featurize over opaque bytes)."""
 
 import numpy as np
 import pytest
@@ -32,8 +32,8 @@ class TestDecodeFeaturize:
         rows = out.collect()
         assert len(rows) == 6
         assert out.columns == [
-            "asset_id", "kind", "ok", "decoded", "img_format", "width", "height",
-            "n_bytes", "byte_entropy", "features",
+            "asset_id", "kind", "ok", "decoded", "media_format", "width", "height",
+            "sample_rate", "n_frames", "n_bytes", "byte_entropy", "features",
         ]
 
     def test_feature_contract(self, spark, assets):
@@ -147,7 +147,7 @@ class TestRealImageDecode:
         df = spark.createDataFrame(rows, ASSET_SCHEMA)
         out = decode_and_featurize(df).collect()[0]
         assert out["ok"] and out["decoded"]
-        assert out["img_format"] == "png"
+        assert out["media_format"] == "png"
         assert (out["width"], out["height"]) == (8, 8)
         assert out["byte_entropy"] == 0.0  # constant pixels, not bytes
         feats = np.array(out["features"])
@@ -164,7 +164,80 @@ class TestRealImageDecode:
         ]
         df = spark.createDataFrame(rows, ASSET_SCHEMA)
         out = {r["asset_id"]: r for r in decode_and_featurize(df).collect()}
-        assert out[1]["decoded"] and out[1]["img_format"] == "bmp"
+        assert out[1]["decoded"] and out[1]["media_format"] == "bmp"
         assert (out[1]["width"], out[1]["height"]) == (6, 6)
-        assert not out[2]["decoded"] and out[2]["img_format"] is None
+        # raw bytes mislabeled 'wav' are NOT valid RIFF -> opaque fallback
+        assert not out[2]["decoded"] and out[2]["media_format"] is None
         assert out[2]["ok"]  # opaque bytes still featurized
+
+
+class TestRealAudioDecode:
+    """Vendored WAV codec: sample-exact roundtrips, real decoded-sample
+    features through the multimodal path, spec-level rejects."""
+
+    def _tone(self, n=4000, channels=1, freq=440.0, rate=16000):
+        t = np.arange(n) / rate
+        wave = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+        return np.tile(wave[:, None], (1, channels))
+
+    @pytest.mark.parametrize("channels", [1, 2])
+    def test_wav_roundtrip_int16(self, channels):
+        from deduplication_challenge_spark.functions.audiocodec import (
+            decode_wav, encode_wav, probe_wav,
+        )
+
+        samples = self._tone(channels=channels)
+        data = encode_wav(samples, 16000)
+        assert probe_wav(data) == (16000, channels, 16, 4000)
+        got, rate = decode_wav(data)
+        assert rate == 16000
+        assert np.array_equal(got, samples)
+
+    def test_wav_roundtrip_uint8(self):
+        from deduplication_challenge_spark.functions.audiocodec import (
+            decode_wav, encode_wav, probe_wav,
+        )
+
+        rng = np.random.Generator(np.random.PCG64(9))
+        samples = rng.integers(0, 256, size=(777, 1), dtype=np.uint8)
+        data = encode_wav(samples, 8000)
+        assert probe_wav(data) == (8000, 1, 8, 777)
+        assert np.array_equal(decode_wav(data)[0], samples)
+
+    def test_rejects(self):
+        from deduplication_challenge_spark.functions.audiocodec import probe_wav
+
+        assert probe_wav(b"not a wav") is None
+        assert probe_wav(None) is None
+        assert probe_wav(b"RIFF\x00\x00\x00\x00AVI ") is None  # wrong form type
+        # IEEE float (tag 3) rejected
+        import struct
+        fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+        bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16) + fmt
+               + b"data" + struct.pack("<I", 0))
+        assert probe_wav(bad) is None
+
+    def test_audio_assets_decode_to_samples(self, spark):
+        """decoded=true with real PCM stats: a constant-DC WAV has entropy 0
+        over SAMPLES even though the 16-bit container bytes alternate — the
+        discriminating check that audio decode is real (mirrors the PNG
+        pixel-entropy check)."""
+        from deduplication_challenge_spark.functions.audiocodec import encode_wav
+
+        dc = np.full((2000, 1), 12345, dtype=np.int16)  # constant sample
+        payload = encode_wav(dc, 16000)
+        rows = [
+            (1, "audio", payload, ("wav", None, None, 125)),
+            (2, "audio", encode_wav(self._tone(), 16000), ("wav", None, None, 250)),
+        ]
+        df = spark.createDataFrame(rows, ASSET_SCHEMA)
+        out = {r["asset_id"]: r for r in decode_and_featurize(df).collect()}
+        assert out[1]["decoded"] and out[1]["media_format"] == "wav"
+        assert out[1]["sample_rate"] == 16000 and out[1]["n_frames"] == 2000
+        assert out[1]["byte_entropy"] == 0.0  # constant samples, not bytes
+        # the sine tone spreads mass across bins and keeps frame metadata
+        assert out[2]["decoded"] and out[2]["n_frames"] == 4000
+        assert out[2]["byte_entropy"] > 1.0
+        feats = np.array(out[2]["features"])
+        assert abs(feats.sum() - 1.0) < 1e-5

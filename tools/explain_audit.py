@@ -149,6 +149,52 @@ def main() -> int:
         p,
     )
 
+    # 10. global substring pass: anchor join is an EQUI-join (shuffled hash /
+    # sort-merge on the anchor key), star-edged via the min aggregate —
+    # never a cartesian or nested loop; scan pruned to (doc_id, text)
+    from deduplication_challenge_spark.operators.suffixarray import substring_pairs_global
+
+    sub = substring_pairs_global(docs.select("doc_id", "text"), DedupConfig())
+    p = plan_text(sub)
+    rs = re.search(r"ReadSchema: ([^\n]*)", p)
+    check(
+        "substring_pairs_global",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        and p.count("HashAggregate") >= 2  # min/count per anchor (partial+final)
+        and rs and "lang" not in rs.group(1),
+        "anchor equi-join + star-edge aggregate; scan pruned to (doc_id, text)",
+        p,
+    )
+
+    # 11. passthrough standardization: per-row higher-order functions —
+    # ZERO exchanges in the whole standardization subplan (the r2 version
+    # shuffled the passthrough side 16 times)
+    from deduplication_challenge_spark.operators.product_merge import (
+        _row_color_expr,
+        _row_energy_expr,
+        _row_interval_expr,
+    )
+    from deduplication_challenge_spark.sources.products import (
+        COLOR_FIELD,
+        ENERGY_FIELD,
+        INTERVAL_FIELDS,
+        PRODUCTS_SCHEMA,
+    )
+
+    prod = spark.createDataFrame([], PRODUCTS_SCHEMA)
+    pt = prod
+    for f_, (keys, vcol) in INTERVAL_FIELDS.items():
+        pt = pt.withColumn(f_, _row_interval_expr(f_, keys, vcol, prod.schema[f_].dataType))
+    pt = pt.withColumn(COLOR_FIELD, _row_color_expr(prod.schema[COLOR_FIELD].dataType))
+    pt = pt.withColumn(ENERGY_FIELD, _row_energy_expr(prod.schema[ENERGY_FIELD].dataType))
+    p = plan_text(pt)
+    check(
+        "passthrough_standardization",
+        "Exchange" not in p,
+        "zero exchanges — row-local standardization",
+        p,
+    )
+
     spark.stop()
     return 1 if failures else 0
 
