@@ -400,6 +400,61 @@ def q_label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# product-merge engine, driver-visible (SURVEY §2.4 A1-A12 under the oracle)
+# ---------------------------------------------------------------------------
+
+def _consolidated(spark: SparkSession, sf_dir: str):
+    from deduplication_challenge_spark.operators.product_merge import consolidate_products
+    from deduplication_challenge_spark.sources.products import products_from_documents
+
+    return consolidate_products(products_from_documents(_t(spark, sf_dir, "documents")))
+
+
+def q_consolidated_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL merge-policy engine (operators/product_merge.py — elections
+    A1/A2/A4, lengthiest A6, completing A7, provenance-adjacent source_urls,
+    J3 url pick, passthrough standardization) run on a deterministic
+    products table derived from `documents`, flattened to scalar columns the
+    DuckDB oracle reproduces independently from the policy spec."""
+    out = _consolidated(spark, sf_dir)
+    return out.select(
+        "product_identifier",
+        "id",
+        F.col("group_size").cast("long").alias("group_size"),
+        "brand", "unspsc", "root_domain", "product_name", "product_title",
+        F.length(F.coalesce("description", F.lit(""))).cast("long").alias("desc_len"),
+        F.length(F.coalesce("product_summary", F.lit(""))).cast("long").alias("summary_len"),
+        "page_url",
+        F.array_join("intended_industries", "|").alias("industries_str"),
+        F.array_join("materials", "|").alias("materials_str"),
+        F.array_join(F.transform("eco_friendly", lambda x: x.cast("string")), "|").alias("eco_str"),
+        F.array_join(
+            F.transform("manufacturing_year", lambda x: x.cast("string")), "|"
+        ).alias("year_str"),
+        F.array_join("source_urls", "|").alias("urls_str"),
+    )
+
+
+def q_consolidated_product_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 keyed min/max intervals from the engine output (BOTH branches:
+    grouped aggregate for merged groups AND the shuffle-free per-row
+    passthrough standardization), exploded to oracle-able rows — numeric
+    min/max stringified via _pystr_double, literal fallback included."""
+    out = _consolidated(spark, sf_dir)
+    pr = out.select("product_identifier", "id", F.explode("price").alias("e")).select(
+        "product_identifier", "id", F.lit("price").alias("field"),
+        F.col("e.currency").alias("key_str"),
+        F.col("e.min").alias("min_val"), F.col("e.max").alias("max_val"),
+    )
+    sz = out.select("product_identifier", "id", F.explode("size").alias("e")).select(
+        "product_identifier", "id", F.lit("size").alias("field"),
+        F.concat_ws("|", "e.dimension", "e.unit").alias("key_str"),
+        F.col("e.min").alias("min_val"), F.col("e.max").alias("max_val"),
+    )
+    return pr.unionByName(sz)
+
+
+# ---------------------------------------------------------------------------
 # relational coverage over TPC-H-ish tables (SURVEY §2.2/2.3/2.4/2.5)
 # ---------------------------------------------------------------------------
 
@@ -578,6 +633,8 @@ QUERIES = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_near_dup_pairs_lsh": q_embedding_near_dup_pairs_lsh,
     "embedding_lsh_missed_pairs": q_embedding_lsh_missed_pairs,
+    "consolidated_products": q_consolidated_products,
+    "consolidated_product_intervals": q_consolidated_product_intervals,
     "doc_fingerprints": q_doc_fingerprints,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -794,6 +851,193 @@ ORACLE_SQL = {
                round(avg(CAST(embedding[3] AS DOUBLE)), 4) AS mean_d2,
                round(avg(CAST(embedding[4] AS DOUBLE)), 4) AS mean_d3
         FROM embeddings GROUP BY label
+    """,
+    # Independent SQL re-implementation of the merge-policy SPEC (not the
+    # Spark code): global-frequency elections with the pinned tie-breaks,
+    # lengthiest/completing policies, J3 substring url pick, singleton
+    # passthrough — over the same deterministic derived products table.
+    "consolidated_products": """
+        WITH products AS (
+            SELECT doc_id AS id,
+                   CASE WHEN doc_id % 10 <= 3 THEN 'CAS-' || CAST(doc_id % 40 AS VARCHAR)
+                        WHEN doc_id % 10 = 4 THEN ''
+                        WHEN doc_id % 10 = 5 THEN 'SKU: Not Available'
+                        ELSE 'UNIQ-' || CAST(doc_id AS VARCHAR) END AS product_identifier,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE lang || '-' || CAST(n_chars % 4 AS VARCHAR) END AS brand,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE 'U' || CAST(n_chars % 7 AS VARCHAR) END AS unspsc,
+                   source AS root_domain,
+                   'N' || CAST(n_chars % 13 AS VARCHAR) AS product_name,
+                   'T' || CAST(n_chars % 11 AS VARCHAR) AS product_title,
+                   CAST(length(text) AS BIGINT) AS desc_len,
+                   CAST(length(substr(text, 1, CAST(1 + doc_id % 40 AS INT))) AS BIGINT) AS summary_len,
+                   'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR) AS page_url,
+                   [lang, source] AS intended_industries,
+                   CASE WHEN n_chars % 3 = 0 THEN [lang]
+                        WHEN n_chars % 3 = 1 THEN CAST([] AS VARCHAR[])
+                        ELSE NULL END AS materials,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 3 = 0 END AS eco_friendly,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(2015 + doc_id % 8 AS INT) END AS manufacturing_year
+            FROM documents
+        ),
+        fb AS (SELECT brand AS v, count(*) AS f FROM products GROUP BY brand),
+        fu AS (SELECT unspsc AS v, count(*) AS f FROM products GROUP BY unspsc),
+        fr AS (SELECT root_domain AS v, count(*) AS f FROM products GROUP BY root_domain),
+        fn AS (SELECT product_name AS v, count(*) AS f FROM products GROUP BY product_name),
+        ft AS (SELECT product_title AS v, count(*) AS f FROM products GROUP BY product_title),
+        valid AS (SELECT * FROM products
+                  WHERE product_identifier <> '' AND product_identifier <> 'SKU: Not Available'),
+        gsz AS (SELECT product_identifier, count(*) AS gs FROM valid GROUP BY product_identifier),
+        ranked AS (
+            SELECT m.*, g.gs,
+                   row_number() OVER (PARTITION BY m.product_identifier
+                       ORDER BY (m.brand IS NOT NULL) DESC, fb.f DESC, m.id ASC) AS rb,
+                   row_number() OVER (PARTITION BY m.product_identifier
+                       ORDER BY (m.unspsc IS NOT NULL) DESC, fu.f DESC, m.id ASC) AS ru,
+                   row_number() OVER (PARTITION BY m.product_identifier
+                       ORDER BY (m.root_domain IS NOT NULL) DESC, fr.f DESC, m.id ASC) AS rr,
+                   row_number() OVER (PARTITION BY m.product_identifier
+                       ORDER BY (m.product_name IS NOT NULL) DESC, fn.f ASC, m.id ASC) AS rnm,
+                   row_number() OVER (PARTITION BY m.product_identifier
+                       ORDER BY (m.product_title IS NOT NULL) DESC, ft.f ASC, m.id ASC) AS rt,
+                   row_number() OVER (PARTITION BY m.product_identifier
+                       ORDER BY m.desc_len DESC, m.id ASC) AS rde,
+                   row_number() OVER (PARTITION BY m.product_identifier
+                       ORDER BY m.summary_len DESC, m.id ASC) AS rsu
+            FROM valid m
+            JOIN gsz g USING (product_identifier)
+            LEFT JOIN fb ON m.brand = fb.v
+            LEFT JOIN fu ON m.unspsc = fu.v
+            LEFT JOIN fr ON m.root_domain = fr.v
+            LEFT JOIN fn ON m.product_name = fn.v
+            LEFT JOIN ft ON m.product_title = ft.v
+            WHERE g.gs >= 2
+        ),
+        magg AS (
+            SELECT product_identifier,
+                   min(id) AS id,
+                   CAST(max(gs) AS BIGINT) AS group_size,
+                   max(CASE WHEN rb = 1 THEN brand END) AS brand,
+                   max(CASE WHEN ru = 1 THEN unspsc END) AS unspsc,
+                   max(CASE WHEN rr = 1 THEN root_domain END) AS root_domain,
+                   max(CASE WHEN rnm = 1 THEN product_name END) AS product_name,
+                   max(CASE WHEN rt = 1 THEN product_title END) AS product_title,
+                   max(CASE WHEN rde = 1 THEN desc_len END) AS desc_len,
+                   max(CASE WHEN rsu = 1 THEN summary_len END) AS summary_len,
+                   list_sort(list_distinct(flatten(list(coalesce(intended_industries, CAST([] AS VARCHAR[])))))) AS industries_l,
+                   list_sort(list_distinct(flatten(list(coalesce(materials, CAST([] AS VARCHAR[])))))) AS materials_l,
+                   list_sort(list_distinct(list(eco_friendly) FILTER (WHERE eco_friendly IS NOT NULL))) AS eco_l,
+                   list_sort(list_distinct(list(manufacturing_year) FILTER (WHERE manufacturing_year IS NOT NULL))) AS year_l,
+                   list_sort(list_distinct(list(page_url))) AS urls_l
+            FROM ranked GROUP BY product_identifier
+        ),
+        upick AS (
+            SELECT r.product_identifier, r.page_url,
+                   row_number() OVER (PARTITION BY r.product_identifier ORDER BY r.id ASC) AS rn
+            FROM ranked r JOIN magg g USING (product_identifier)
+            WHERE contains(r.page_url, coalesce(g.root_domain, ''))
+        ),
+        mergedout AS (
+            SELECT g.product_identifier, g.id, g.group_size, g.brand, g.unspsc,
+                   g.root_domain, g.product_name, g.product_title, g.desc_len, g.summary_len,
+                   u.page_url,
+                   coalesce(array_to_string(g.industries_l, '|'), '') AS industries_str,
+                   coalesce(array_to_string(g.materials_l, '|'), '') AS materials_str,
+                   coalesce(array_to_string(list_transform(g.eco_l, x -> CAST(x AS VARCHAR)), '|'), '') AS eco_str,
+                   coalesce(array_to_string(list_transform(g.year_l, x -> CAST(x AS VARCHAR)), '|'), '') AS year_str,
+                   coalesce(array_to_string(g.urls_l, '|'), '') AS urls_str
+            FROM magg g LEFT JOIN (SELECT * FROM upick WHERE rn = 1) u USING (product_identifier)
+        ),
+        ptout AS (
+            SELECT p.product_identifier, p.id, CAST(1 AS BIGINT) AS group_size,
+                   p.brand, p.unspsc, p.root_domain, p.product_name, p.product_title,
+                   p.desc_len, p.summary_len, p.page_url,
+                   coalesce(array_to_string(p.intended_industries, '|'), '') AS industries_str,
+                   CASE WHEN p.materials IS NULL THEN NULL
+                        ELSE coalesce(array_to_string(p.materials, '|'), '') END AS materials_str,
+                   CASE WHEN p.eco_friendly IS NOT NULL THEN CAST(p.eco_friendly AS VARCHAR) ELSE '' END AS eco_str,
+                   CASE WHEN p.manufacturing_year IS NOT NULL THEN CAST(p.manufacturing_year AS VARCHAR) ELSE '' END AS year_str,
+                   p.page_url AS urls_str
+            FROM products p LEFT JOIN gsz g USING (product_identifier)
+            WHERE p.product_identifier = '' OR p.product_identifier = 'SKU: Not Available'
+                  OR coalesce(g.gs, 1) < 2
+        )
+        SELECT * FROM mergedout UNION ALL SELECT * FROM ptout
+    """,
+    # A8 keyed min/max intervals re-derived from the spec: per group (merged
+    # identifier groups AND singleton rows), per key, numeric min/max
+    # stringified; literal survives only keys with no numeric value;
+    # null-valued entries skipped.
+    "consolidated_product_intervals": """
+        WITH products AS (
+            SELECT doc_id AS id,
+                   CASE WHEN doc_id % 10 <= 3 THEN 'CAS-' || CAST(doc_id % 40 AS VARCHAR)
+                        WHEN doc_id % 10 = 4 THEN ''
+                        WHEN doc_id % 10 = 5 THEN 'SKU: Not Available'
+                        ELSE 'UNIQ-' || CAST(doc_id AS VARCHAR) END AS product_identifier,
+                   [
+                     {'amount': CAST((n_chars % 97) + 0.5 AS DOUBLE),
+                      'currency': ['USD','EUR','GBP'][CAST(doc_id % 3 AS INT) + 1],
+                      'type': 'exact'},
+                     {'amount': CAST(NULL AS DOUBLE), 'currency': 'USD', 'type': 'list'}
+                   ] AS price,
+                   [
+                     {'dimension': ['h','w'][CAST(n_chars % 2 AS INT) + 1],
+                      'qualitative': false, 'type': 'exact', 'unit': 'cm',
+                      'value': CASE WHEN doc_id % 4 = 0 THEN 'tall'
+                                    ELSE CAST(n_chars % 50 AS VARCHAR) END}
+                   ] AS size
+            FROM documents
+        ),
+        gsz AS (
+            SELECT product_identifier, count(*) AS gs FROM products
+            WHERE product_identifier <> '' AND product_identifier <> 'SKU: Not Available'
+            GROUP BY product_identifier
+        ),
+        unitized AS (
+            SELECT CASE WHEN p.product_identifier <> '' AND p.product_identifier <> 'SKU: Not Available'
+                             AND coalesce(g.gs, 0) >= 2
+                        THEN 'g:' || p.product_identifier
+                        ELSE 'r:' || CAST(p.id AS VARCHAR) END AS gkey,
+                   p.*
+            FROM products p LEFT JOIN gsz g USING (product_identifier)
+        ),
+        gid AS (
+            -- survivor id per group = min over ALL members, not just the
+            -- members contributing a given key (A5 min-id survivor)
+            SELECT gkey, min(id) AS id, min(product_identifier) AS product_identifier
+            FROM unitized GROUP BY gkey
+        ),
+        pentries AS (
+            SELECT gkey, e.currency AS key_str, e.amount AS v
+            FROM (SELECT gkey, unnest(price) AS e FROM unitized)
+            WHERE e.amount IS NOT NULL
+        ),
+        pagg AS (
+            SELECT gkey, 'price' AS field, key_str,
+                   CAST(min(v) AS VARCHAR) AS min_val,
+                   CAST(max(v) AS VARCHAR) AS max_val
+            FROM pentries GROUP BY gkey, key_str
+        ),
+        sentries AS (
+            SELECT gkey,
+                   e.dimension || '|' || e.unit AS key_str,
+                   e.value AS v, TRY_CAST(e.value AS DOUBLE) AS num
+            FROM (SELECT gkey, unnest(size) AS e FROM unitized)
+            WHERE e.value IS NOT NULL
+        ),
+        sagg AS (
+            SELECT gkey, 'size' AS field, key_str,
+                   CASE WHEN count(num) > 0 THEN CAST(min(num) AS VARCHAR)
+                        ELSE max(CASE WHEN num IS NULL THEN v END) END AS min_val,
+                   CASE WHEN count(num) > 0 THEN CAST(max(num) AS VARCHAR)
+                        ELSE max(CASE WHEN num IS NULL THEN v END) END AS max_val
+            FROM sentries GROUP BY gkey, key_str
+        ),
+        unioned AS (SELECT * FROM pagg UNION ALL SELECT * FROM sagg)
+        SELECT g.product_identifier, g.id, u.field, u.key_str, u.min_val, u.max_val
+        FROM unioned u JOIN gid g USING (gkey)
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
