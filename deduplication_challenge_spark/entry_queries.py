@@ -111,7 +111,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash path — north-rule dedup operator with exact Jaccard over
     df-capped gram sets; see NGRAM_DF_CAP)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = _word3grams(d)
+    # the gram table feeds FOUR consumers (df counts, anti-join, per-doc
+    # sizes, self-join both sides): a lazy local checkpoint materializes the
+    # tokenize->explode->distinct subtree ONCE instead of re-executing it
+    # per branch — at sf0.1 that subtree dominated the query's runtime
+    grams = _word3grams(d).localCheckpoint(eager=False)
     # df-cap: drop grams hotter than NGRAM_DF_CAP from both sides of the
     # Jaccard (numerator AND denominator) so the self-join stays bounded.
     # Hot grams are FEW by construction, so a broadcast anti-join against
@@ -122,7 +126,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") > NGRAM_DF_CAP)
         .select("gram")
     )
-    grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+    grams = grams.join(F.broadcast(hot), "gram", "left_anti").localCheckpoint(eager=False)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = grams.withColumnRenamed("doc_id", "doc_id_a")
     b = grams.withColumnRenamed("doc_id", "doc_id_b")
