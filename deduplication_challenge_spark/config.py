@@ -59,9 +59,18 @@ class DedupConfig:
                                        # core-derived): local results depend on
                                        # co-location, so a fixed count keeps output
                                        # identical across parallelism levels
-    substr_winnow_window: int = 16     # anchor-sampling window W: detection
+    substr_winnow_window: int = 64     # anchor-sampling window W: detection
                                        # guaranteed for shared runs >=
-                                       # min_len+W-1 chars; 0 = every position
+                                       # min_len+W-1 chars (111 at defaults);
+                                       # 0 = every position.  W is the anchor-
+                                       # shuffle knob: W=64 ships ~2.9% of
+                                       # corpus positions (measured, 10k gate)
+                                       # vs ~11.3% at W=16, with ZERO cluster-
+                                       # recall delta on the 10k planted gate
+                                       # (canonical identical, planted recall
+                                       # 1.0 at W in {16,64,128} — lost
+                                       # substring edges are redundant with
+                                       # LSH/SimHash edges)
     substr_verify: bool = False        # char-level verification of hash-equal
                                        # windows, honored in BOTH scopes
                                        # (2^-64 collision odds without; local
