@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image AND audio decode are REAL: PNG/BMP payloads decode to pixel arrays by
-the vendored pure-Python codecs (functions/imagecodec.py — RFC 2083 PNG +
-classic 24bpp BMP), WAV payloads decode to PCM sample arrays
-(functions/audiocodec.py — RIFF integer PCM, 8/16-bit); no external media
-lib ships in this container.  Remaining payloads (video, unknown formats)
+Image, audio AND video decode are REAL: PNG/BMP payloads decode to pixel
+arrays by the vendored pure-Python codecs (functions/imagecodec.py — RFC
+2083 PNG + classic 24bpp BMP), WAV payloads decode to PCM sample arrays
+(functions/audiocodec.py — RIFF integer PCM, 8/16-bit), and AVI payloads
+decode to frame-sampled pixel arrays (functions/videocodec.py — RIFF AVI
+with uncompressed 24bpp DIB frames); no external media lib ships in this
+container.  Remaining payloads (compressed video codecs, unknown formats)
 fall back to opaque-bytes featurization — swapping in pyav on a real
 cluster changes only ``_decode_payload``, never the DataFrame contract.
 
@@ -55,20 +57,41 @@ DECODED_SCHEMA = (
 )
 
 IMAGE_CODECS = ("png", "bmp")  # real vendored decoders
-AUDIO_CODECS = ("wav",)        # real vendored decoder; video stays opaque
+AUDIO_CODECS = ("wav",)        # real vendored decoder
+VIDEO_CODECS = ("avi",)        # real vendored decoder (uncompressed DIB)
+
+#: deterministic frame-sampling stride cap for video featurization: at most
+#: this many frames contribute pixels to the feature/entropy stream, spaced
+#: evenly across the clip (frame 0 always included) — the batch-side analog
+#: of frame_sample_plan's every_ms expansion
+VIDEO_SAMPLE_FRAMES = 8
 
 
 def _decode_payload(payload: bytes) -> tuple[np.ndarray, str | None, int, int, int, int]:
     """(uint8 stream, format|None, width, height, sample_rate, n_frames).
-    PNG/BMP payloads decode to real pixels and WAV payloads to real PCM
-    samples (the stream is the decoded content, so entropy/histogram
-    features measure pixels/samples, not container bytes); anything else is
-    treated as an opaque byte stream with format None."""
+    PNG/BMP payloads decode to real pixels, WAV payloads to real PCM
+    samples, and AVI payloads to real frame pixels (the stream is the
+    decoded content, so entropy/histogram features measure pixels/samples,
+    not container bytes); anything else is treated as an opaque byte stream
+    with format None.  Video streams are frame-SAMPLED: at most
+    VIDEO_SAMPLE_FRAMES evenly-spaced frames feed the stream while n_frames
+    still reports the container's full frame count."""
     from deduplication_challenge_spark.functions.audiocodec import decode_wav, probe_wav
     from deduplication_challenge_spark.functions.imagecodec import probe_image, decode_image
+    from deduplication_challenge_spark.functions.videocodec import decode_avi, probe_avi
 
     if not payload:
         return np.empty(0, dtype=np.uint8), None, 0, 0, 0, 0
+    vmeta = probe_avi(payload)
+    if vmeta is not None:
+        try:
+            frames, _us = decode_avi(payload)
+            n_total = frames.shape[0]
+            stride = max(1, -(-n_total // VIDEO_SAMPLE_FRAMES))  # ceil-div
+            sampled = frames[::stride]
+            return sampled.reshape(-1), "avi", vmeta[0], vmeta[1], 0, n_total
+        except Exception:  # malformed/compressed AVI -> opaque bytes
+            pass
     meta = probe_image(payload)
     if meta is not None:
         try:
