@@ -286,6 +286,109 @@ def q_longest_doc_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a word-3-gram is "boilerplate" when it appears in at least this many
+#: distinct documents (CCNet/RefinedWeb-style shared-content removal).  The
+#: boilerplate gram SET is small by definition (each member needs MIN_DOCS
+#: distinct docs behind it, so |set| <= total_occurrences / MIN_DOCS), which
+#: is what makes the broadcast tag-join below safe at corpus scale.
+BOILERPLATE_MIN_DOCS = 4
+
+
+def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals per doc: duplicate
+    word fraction, duplicate 2-gram fraction, and top-2-gram fraction
+    (Rae et al. 2021 'repetitious text' quality filters).
+
+    Scale shape: every metric is computed ROW-LOCALLY with higher-order
+    functions (array_distinct for distinct counts; the mode of the 2-gram
+    multiset as the longest run of the sorted gram array via F.aggregate) —
+    the whole query is scan -> project with ZERO shuffles and stays inside
+    whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    d = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws("\x1f", F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)),
+    )
+    d = d.select("doc_id", "t", F.array_sort(grams).alias("g"))
+    # mode count of the gram multiset = longest equal-run in the sorted
+    # array; grams are non-empty so the "" initial state never matches
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+    top2 = F.aggregate(
+        "g",
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_words = F.size("t").cast("long")
+    n_words_d = F.size(F.array_distinct("t")).cast("long")
+    n_2g = F.size("g").cast("long")
+    n_2g_d = F.size(F.array_distinct("g")).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_words_d.alias("n_distinct_words"),
+        n_2g.alias("n_2grams"),
+        n_2g_d.alias("n_distinct_2grams"),
+        top2.cast("long").alias("top_2gram_count"),
+        F.round(F.lit(1.0) - n_words_d / n_words, 6).alias("dup_word_frac"),
+        F.round(F.lit(1.0) - n_2g_d / n_2g, 6).alias("dup_2gram_frac"),
+        F.round(top2 / n_2g, 6).alias("top_2gram_frac"),
+    )
+
+
+def q_boilerplate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate rate per source: the fraction of word-
+    3-gram OCCURRENCES that belong to grams seen in >= BOILERPLATE_MIN_DOCS
+    distinct documents (CCNet/RefinedWeb shared-content signal — the
+    removal-side companion of the df-cap in q_ngram_jaccard_pairs).
+
+    Scale shape: one aggregate computes per-gram document frequency over
+    the DISTINCT (doc_id, gram) projection (map-side combine); the
+    boilerplate set is broadcast back onto the occurrence stream as a
+    left-semi tag (no shuffle of the occurrences), and the final per-source
+    rollup shuffles only |sources| rows after partial aggregation."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    d = d.select("doc_id", "source", toks.alias("t")).where(F.size("t") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 3),
+        lambda i: F.concat_ws(
+            "\x1f",
+            F.element_at(F.col("t"), i + 1),
+            F.element_at(F.col("t"), i + 2),
+            F.element_at(F.col("t"), i + 3),
+        ),
+    )
+    occ = d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    occ = occ.localCheckpoint(eager=False)  # feeds both the df agg and the tag-join
+    hot = (
+        occ.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .select("gram")
+    )
+    tagged = occ.join(
+        F.broadcast(hot).withColumn("is_boiler", F.lit(1)), "gram", "left"
+    )
+    boiler = F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).cast("long")
+    total = F.count("*").cast("long")
+    return tagged.groupBy("source").agg(
+        total.alias("n_gram_occurrences"),
+        boiler.alias("n_boilerplate_occurrences"),
+        F.round(boiler / total, 6).alias("boilerplate_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -630,6 +733,8 @@ QUERIES = {
     "lang_id_heuristic": q_lang_id_heuristic,
     "lang_distribution": q_lang_distribution,
     "longest_doc_per_lang": q_longest_doc_per_lang,
+    "doc_repetition_signals": q_doc_repetition_signals,
+    "boilerplate_rate_by_source": q_boilerplate_rate_by_source,
     "embedding_norms": q_embedding_norms,
     "label_centroid_dims": q_label_centroid_dims,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -806,6 +911,58 @@ ORACLE_SQL = {
                    row_number() OVER (PARTITION BY lang ORDER BY length(text) DESC, doc_id ASC) AS rn
             FROM documents
         ) WHERE rn = 1
+    """,
+    "doc_repetition_signals": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ), base AS (
+            SELECT doc_id, t, len(t) AS n_words, len(list_distinct(t)) AS n_distinct_words
+            FROM toks WHERE len(t) >= 2
+        ), g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || chr(31) || t[i+1])) AS gram
+            FROM base
+        ), pg AS (
+            SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+        ), agg AS (
+            SELECT doc_id, sum(c) AS n_2grams, count(*) AS n_distinct_2grams, max(c) AS top_c
+            FROM pg GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(b.n_words AS BIGINT) AS n_words,
+               CAST(b.n_distinct_words AS BIGINT) AS n_distinct_words,
+               CAST(a.n_2grams AS BIGINT) AS n_2grams,
+               CAST(a.n_distinct_2grams AS BIGINT) AS n_distinct_2grams,
+               CAST(a.top_c AS BIGINT) AS top_2gram_count,
+               round(1.0 - b.n_distinct_words * 1.0 / b.n_words, 6) AS dup_word_frac,
+               round(1.0 - a.n_distinct_2grams * 1.0 / a.n_2grams, 6) AS dup_2gram_frac,
+               round(a.top_c * 1.0 / a.n_2grams, 6) AS top_2gram_frac
+        FROM base b JOIN agg a ON a.doc_id = b.doc_id
+    """,
+    "boilerplate_rate_by_source": """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ), occ AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])) AS gram
+            FROM toks WHERE len(t) >= 3
+        ), hot AS (
+            SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM occ)
+            GROUP BY gram HAVING count(*) >= 4
+        )
+        SELECT o.source,
+               CAST(count(*) AS BIGINT) AS n_gram_occurrences,
+               CAST(sum(CASE WHEN h.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boilerplate_occurrences,
+               round(sum(CASE WHEN h.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS boilerplate_rate
+        FROM occ o LEFT JOIN hot h ON o.gram = h.gram
+        GROUP BY o.source
     """,
     "embedding_norms": """
         SELECT vec_id, label,

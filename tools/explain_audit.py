@@ -195,6 +195,26 @@ def main() -> int:
         p,
     )
 
+    # 12. doc repetition signals: all metrics row-local (HOFs) — the whole
+    # query must be scan -> project with ZERO exchanges
+    p = plan_text(eq.QUERIES["doc_repetition_signals"](spark, sf_dir))
+    check(
+        "doc_repetition_signals",
+        "Exchange" not in p,
+        "zero exchanges — row-local repetition metrics",
+        p,
+    )
+
+    # 13. boilerplate rate: the hot-gram set rides a BROADCAST tag-join
+    # (occurrence stream never shuffles for the tag), no sort-merge join
+    p = plan_text(eq.QUERIES["boilerplate_rate_by_source"](sf_dir=sf_dir, spark=spark))
+    check(
+        "boilerplate_rate_by_source",
+        ("BroadcastHashJoin" in p) and ("SortMergeJoin" not in p),
+        "hot grams broadcast onto the occurrence stream",
+        p,
+    )
+
     spark.stop()
     return 1 if failures else 0
 
