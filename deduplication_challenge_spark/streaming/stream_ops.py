@@ -73,12 +73,25 @@ def stream_near_dup(pages_stream: DataFrame, cfg=None, watermark: str = "1 hour"
     mitigations: (1) the key includes a coarse doubling length bucket
     (floor(log2(1 + len/64))), so colliding docs must ALSO be within ~2x in
     length — near-dups almost always are, random collisions almost never;
-    (2) at production scale, route this operator's output to a staging sink
-    and feed the BATCH pipeline from the raw stream on a lag — suppressed
-    rows are then recoverable and the canopy filter only decides what is
-    processed eagerly, never what is kept.  Near-dup pairs that straddle a
+    (2) when losing a colliding row is unacceptable, use
+    :func:`stream_near_dup_tagged` instead — the lossless variant that TAGS
+    canopy-mates rather than dropping them, so suppressed rows can ride a
+    side sink into the batch pipeline for verification/recovery while the
+    canopy filter only decides what is processed eagerly, never what is
+    kept.  Near-dup pairs that straddle a
     length-bucket boundary lose suppression (recall, not correctness —
     batch catches them)."""
+    docs = _with_canopy_key(extract_pages(pages_stream), cfg)
+    return (
+        docs.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["canopy", "len_bucket"])
+    )
+
+
+def _with_canopy_key(docs: DataFrame, cfg=None) -> DataFrame:
+    """Attach the near-dup canopy key columns: ``canopy`` (the doc's minimum
+    LSH band-bucket hash, one Arrow pass over shingles -> MinHash -> band
+    hashes) and ``len_bucket`` (coarse doubling length bucket)."""
     from deduplication_challenge_spark.config import DedupConfig
     from deduplication_challenge_spark.functions import hashing as H
     from deduplication_challenge_spark.functions.textnorm import shingles
@@ -97,7 +110,6 @@ def stream_near_dup(pages_stream: DataFrame, cfg=None, watermark: str = "1 hour"
             out[i] = int(H.band_hashes(sig, cfg.bands, cfg.rows, cfg.seed).min())
         return pd.Series(out, dtype="Int64")
 
-    docs = extract_pages(pages_stream)
     # shingle-less (empty/tiny) docs key on their url so they never co-bucket
     # with each other or with real band hashes
     canopy = F.coalesce(canopy_udf("text"), F.xxhash64(F.lit("empty:"), F.col("url")))
@@ -105,11 +117,86 @@ def stream_near_dup(pages_stream: DataFrame, cfg=None, watermark: str = "1 hour"
     # co-suppress — kills virtually all random band-hash collisions while
     # keeping true near-dups (which share most of their text) together
     len_bucket = F.floor(F.log2(F.lit(1.0) + F.length(F.coalesce("text", F.lit(""))) / F.lit(64.0)))
+    return docs.withColumn("canopy", canopy).withColumn("len_bucket", len_bucket.cast("int"))
+
+
+def _duration_ms(spec: str) -> int:
+    """Parse a simple '<n> second(s)|minute(s)|hour(s)|day(s)' duration."""
+    n, unit = spec.strip().split()
+    scale = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+    return int(n) * scale[unit.rstrip("s")]
+
+
+TAGGED_SCHEMA = (
+    "url string, warc_ts timestamp, text string, lang string, "
+    "canopy long, len_bucket int, suppressed boolean, first_url string"
+)
+
+
+def stream_near_dup_tagged(
+    pages_stream: DataFrame, cfg=None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Lossless variant of :func:`stream_near_dup`: instead of DROPPING
+    later arrivals that share a canopy key, every input row is emitted with
+    a ``suppressed`` flag and a ``first_url`` pointer to the first-seen
+    member of its canopy group — a custom stateful operator built on
+    ``applyInPandasWithState``.
+
+    This is the side-sink recovery pattern made concrete: route
+    ``suppressed = false`` rows to the eager path and ``suppressed = true``
+    rows to a staging sink the BATCH pipeline verifies later, so a canopy
+    collision between dissimilar docs (see stream_near_dup's precision
+    note) delays processing of a row but can never lose it.
+
+    State per canopy key is one (first_url, first_ts) pair, evicted by an
+    event-time timeout one watermark horizon after the group's newest row —
+    the same bounded-state contract as dropDuplicatesWithinWatermark."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    horizon_ms = _duration_ms(watermark)
+    docs = _with_canopy_key(extract_pages(pages_stream), cfg)
+
+    def tag(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first_url, first_ts = state.get if state.exists else (None, 0)
+        max_ts = 0
+        frames = []
+        for pdf in pdfs:
+            # event-time order within the micro-batch so "first seen" is
+            # deterministic under availableNow replays
+            pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
+            suppressed, firsts = [], []
+            for url, ts in zip(pdf["url"].tolist(), pdf["warc_ts"].tolist()):
+                ts_ms = 0 if pd.isna(ts) else int(ts.value // 1_000_000)
+                max_ts = max(max_ts, ts_ms)
+                if first_url is None:
+                    first_url, first_ts = url, ts_ms
+                    suppressed.append(False)
+                else:
+                    suppressed.append(True)
+                firsts.append(first_url)
+            frames.append(
+                pdf.assign(suppressed=suppressed, first_url=firsts)[
+                    ["url", "warc_ts", "text", "lang", "canopy", "len_bucket",
+                     "suppressed", "first_url"]
+                ]
+            )
+        state.update((first_url, first_ts))
+        state.setTimeoutTimestamp(max_ts + horizon_ms)
+        yield from frames
+
     return (
-        docs.withColumn("canopy", canopy)
-        .withColumn("len_bucket", len_bucket.cast("int"))
-        .withWatermark("warc_ts", watermark)
-        .dropDuplicatesWithinWatermark(["canopy", "len_bucket"])
+        docs.withWatermark("warc_ts", watermark)
+        .groupBy("canopy", "len_bucket")
+        .applyInPandasWithState(
+            tag,
+            outputStructType=TAGGED_SCHEMA,
+            stateStructType="first_url string, first_ts long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

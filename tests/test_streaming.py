@@ -133,3 +133,79 @@ class TestStreamNearDup:
         assert b[100] != b[1000]      # dissimilar lengths -> different buckets
         assert b[1000] == b[1040]     # 4% edit -> same bucket
         assert b[1000] != b[4000]
+
+
+class TestStreamNearDupTagged:
+    def test_all_rows_kept_and_tagged(self, spark, tmp_path_factory):
+        """The lossless variant emits EVERY input row exactly once; later
+        canopy-mates are tagged suppressed with first_url pointing at the
+        first-seen member — nothing is dropped (side-sink recovery path)."""
+        from deduplication_challenge_spark.streaming.stream_ops import (
+            stream_near_dup_tagged,
+        )
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+        other = ("completely different words about completely different "
+                 "topics nothing shared at all here friend ") * 4
+        rows = [
+            ("https://t/1", TS, None, base, "en"),
+            ("https://t/2", TS + dt.timedelta(minutes=1), None, base, "en"),  # re-crawl
+            ("https://t/3", TS + dt.timedelta(minutes=2), None, other, "en"),
+            ("https://t/4", TS + dt.timedelta(minutes=3), None, "", "en"),    # empty
+        ]
+        path = str(tmp_path_factory.mktemp("tagged_in"))
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        ckpt = str(tmp_path_factory.mktemp("ckpt_tagged"))
+        stream = read_page_stream(spark, path)
+        name = run_to_completion(stream_near_dup_tagged(stream, watermark="1 hour"), ckpt)
+        out = {r["url"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        assert sorted(out) == [f"https://t/{i}" for i in (1, 2, 3, 4)]  # lossless
+        assert not out["https://t/1"]["suppressed"]  # first-seen by event time
+        assert out["https://t/2"]["suppressed"]
+        assert out["https://t/2"]["first_url"] == "https://t/1"
+        assert not out["https://t/3"]["suppressed"]  # distinct content
+        assert not out["https://t/4"]["suppressed"]  # empty doc keys on url
+        # agreement with the dropping variant: suppressed=false === survivors
+        from deduplication_challenge_spark.streaming.stream_ops import stream_near_dup
+
+        ckpt2 = str(tmp_path_factory.mktemp("ckpt_tagged_ref"))
+        name2 = run_to_completion(
+            stream_near_dup(read_page_stream(spark, path), watermark="1 hour"), ckpt2
+        )
+        survivors = {r["url"] for r in spark.sql(f"SELECT * FROM {name2}").collect()}
+        assert {u for u, r in out.items() if not r["suppressed"]} == survivors
+
+    def test_state_spans_micro_batches(self, spark, tmp_path_factory):
+        """A re-crawl arriving in a LATER micro-batch is still tagged
+        suppressed: the (first_url, first_ts) state persists across batches
+        within the watermark horizon."""
+        from deduplication_challenge_spark.streaming.stream_ops import (
+            stream_near_dup_tagged,
+        )
+
+        text = "one two three four five six seven eight nine ten " * 8
+        path = str(tmp_path_factory.mktemp("tagged_multi"))
+        schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+        # two separate files + maxFilesPerTrigger=1 -> two micro-batches
+        spark.createDataFrame([("https://m/1", TS, None, text, "en")], schema) \
+            .coalesce(1).write.parquet(path + "/f1")
+        spark.createDataFrame(
+            [("https://m/2", TS + dt.timedelta(minutes=5), None, text, "en")], schema
+        ).coalesce(1).write.parquet(path + "/f2")
+        import glob, shutil
+        merged = str(tmp_path_factory.mktemp("tagged_merged"))
+        for i, f in enumerate(sorted(glob.glob(path + "/f*/*.parquet"))):
+            shutil.copy(f, f"{merged}/part-{i}.parquet")
+        ckpt = str(tmp_path_factory.mktemp("ckpt_tagged_multi"))
+        stream = read_page_stream(spark, merged, max_files_per_trigger=1)
+        name = run_to_completion(stream_near_dup_tagged(stream, watermark="1 hour"), ckpt)
+        out = {r["url"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        assert len(out) == 2
+        n_sup = sum(r["suppressed"] for r in out.values())
+        assert n_sup == 1
+        sup = next(r for r in out.values() if r["suppressed"])
+        first = next(r for r in out.values() if not r["suppressed"])
+        assert sup["first_url"] == first["url"]
