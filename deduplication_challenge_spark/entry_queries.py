@@ -389,6 +389,33 @@ def q_boilerplate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (operators/linededup.dedup_lines) made driver-
+    visible: driver documents are single-line, so 'paragraphs' are derived
+    deterministically as 8-word chunks joined by blank lines, then chunks
+    appearing in >= 3 distinct docs are removed (CCNet boilerplate-line
+    semantics).  Non-vacuous at sf0.01: 17 shared chunks are removed from
+    the near-duplicate texts.  The pipeline-facing operator runs on REAL
+    newline paragraphs from extract_pages (see tests/test_linededup.py)."""
+    from .operators.linededup import dedup_lines
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    d = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size("t") / F.lit(8.0)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(F.col("t"), i * 8 + 1, 8), " "),
+    )
+    derived = d.select("doc_id", F.array_join(chunks, "\n\n").alias("text"))
+    out = dedup_lines(derived, min_docs=3, mode="remove")
+    return out.select(
+        "doc_id",
+        F.col("text").alias("deduped_text"),
+        "n_lines",
+        "n_removed",
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -735,6 +762,7 @@ QUERIES = {
     "longest_doc_per_lang": q_longest_doc_per_lang,
     "doc_repetition_signals": q_doc_repetition_signals,
     "boilerplate_rate_by_source": q_boilerplate_rate_by_source,
+    "paragraph_dedup_docs": q_paragraph_dedup_docs,
     "embedding_norms": q_embedding_norms,
     "label_centroid_dims": q_label_centroid_dims,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -963,6 +991,44 @@ ORACLE_SQL = {
                    AS boilerplate_rate
         FROM occ o LEFT JOIN hot h ON o.gram = h.gram
         GROUP BY o.source
+    """,
+    "paragraph_dedup_docs": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ), base AS (
+            SELECT doc_id, t FROM toks WHERE len(t) >= 1
+        ), chunks AS (
+            SELECT doc_id, pos,
+                   array_to_string(t[pos*8+1 : pos*8+8], ' ') AS line
+            FROM (
+                SELECT doc_id, t,
+                       unnest(range(0, CAST(ceil(len(t) / 8.0) AS INT))) AS pos
+                FROM base
+            )
+        ), hot AS (
+            SELECT line FROM (SELECT DISTINCT doc_id, line FROM chunks)
+            GROUP BY line HAVING count(*) >= 3
+        ), kept AS (
+            SELECT c.doc_id, c.pos, c.line
+            FROM chunks c LEFT JOIN hot h ON c.line = h.line
+            WHERE h.line IS NULL
+        ), reb AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) || chr(10) ORDER BY pos) AS txt,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ), tot AS (
+            SELECT doc_id, count(*) AS n_lines FROM chunks GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(r.txt, '') AS deduped_text,
+               CAST(coalesce(tt.n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(coalesce(tt.n_lines, 0) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM base b
+        LEFT JOIN tot tt ON tt.doc_id = b.doc_id
+        LEFT JOIN reb r ON r.doc_id = b.doc_id
     """,
     "embedding_norms": """
         SELECT vec_id, label,
