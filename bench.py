@@ -76,6 +76,8 @@ def main() -> None:
         "prefix40_dup_groups", "ngram_jaccard_pairs", "token_stats",
         "quality_scores", "lang_id_heuristic", "embedding_norms",
         "embedding_near_dup_pairs_lsh",
+        "doc_repetition_signals", "boilerplate_rate_by_source",
+        "paragraph_dedup_docs",
         "pricing_summary", "top_customers", "region_nation_rollup",
         "events_user_sessions", "supplier_part_topk",
     ]
