@@ -84,6 +84,16 @@ class DedupConfig:
     # --- consolidation ----------------------------------------------------
     min_group_size: int = 2            # singletons pass through untouched
                                        # (/root/reference/src/main.py:93-95)
+    # --- sub-document dedup (optional pre-stage) ----------------------------
+    line_dedup_min_docs: int | None = None  # when set (>= 2), a 'linededup'
+                                       # stage after ingest removes lines
+                                       # (paragraphs) appearing in >= this
+                                       # many DISTINCT docs before signatures
+                                       # are computed (CCNet boilerplate-line
+                                       # removal; operators/linededup.py).
+                                       # None = off (default: the pinned
+                                       # oracle-parity and scaling protocols
+                                       # run on unmodified text)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows != self.num_perm:
@@ -101,6 +111,10 @@ class DedupConfig:
         if not (1 <= self.simhash_split_bits <= 63):
             raise ValueError(
                 f"simhash_split_bits must be in 1..63, got {self.simhash_split_bits}"
+            )
+        if self.line_dedup_min_docs is not None and self.line_dedup_min_docs < 2:
+            raise ValueError(
+                f"line_dedup_min_docs must be None or >= 2, got {self.line_dedup_min_docs}"
             )
 
     def config_hash(self) -> str:

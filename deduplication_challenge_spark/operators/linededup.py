@@ -20,11 +20,13 @@ Scale shape (the part that matters at 10^12 docs):
     substring pass);
   * the hot-line set is SMALL by construction (each member needs min_docs
     distinct docs behind it, so |hot| <= total_lines / min_docs) and is
-    broadcast onto the line stream — the full line table shuffles only
-    once, for the per-document rebuild;
-  * the rebuild is one groupBy(doc_id) with sort_array(collect_list(
-    struct(pos, line))) — deterministic order restoration without a
-    window function.
+    broadcast onto the line stream as a TAG (left join, not a filter) —
+    the full line table shuffles exactly once, for the per-document
+    rebuild;
+  * totals, removal counts, and the rebuild fold into ONE groupBy(doc_id):
+    array_sort(collect_list(struct(pos, line, keep))) then filter/concat —
+    deterministic order restoration without a window function, and no
+    second aggregation or join against a separate totals table.
 
 No silent drops: every output row carries (n_lines, n_removed) and
 documents that lose every line still appear (empty text), so corpus-level
@@ -74,7 +76,7 @@ def dedup_lines(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
 
     lines = split_lines(docs, sep).withColumn("h", F.xxhash64("line"))
-    lines = lines.localCheckpoint(eager=False)  # feeds df agg + tag join + totals
+    lines = lines.localCheckpoint(eager=False)  # feeds the df agg + tag join
 
     hot = (
         lines.select("doc_id", "h")
@@ -85,8 +87,13 @@ def dedup_lines(
         .select("h")
     )
 
+    # TAG (broadcast left join), don't filter: totals and rebuild then fold
+    # into ONE groupBy(doc_id) — a single wide shuffle for the whole operator
     if mode == "remove":
-        kept = lines.join(F.broadcast(hot), "h", "left_anti")
+        tagged = lines.join(
+            F.broadcast(hot).withColumn("is_hot", F.lit(True)), "h", "left"
+        )
+        keep = F.col("is_hot").isNull()
     else:
         # keep_first: per hot line, the occurrence with min (doc_id, pos)
         # survives.  Winners are one row per hot line — broadcast-sized by
@@ -97,30 +104,32 @@ def dedup_lines(
             .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
             .select("h", F.col("w.doc_id").alias("w_doc"), F.col("w.pos").alias("w_pos"))
         )
-        kept = lines.join(F.broadcast(winners), "h", "left").where(
-            F.col("w_doc").isNull()
-            | ((F.col("doc_id") == F.col("w_doc")) & (F.col("pos") == F.col("w_pos")))
-        ).select("doc_id", "pos", "line", "h")
+        tagged = lines.join(F.broadcast(winners), "h", "left")
+        keep = F.col("w_doc").isNull() | (
+            (F.col("doc_id") == F.col("w_doc")) & (F.col("pos") == F.col("w_pos"))
+        )
 
-    rebuilt = kept.groupBy("doc_id").agg(
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
         F.concat_ws(
             sep,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "line", keep.alias("keep")))),
+                    lambda x: x["keep"],
+                ),
                 lambda x: x["line"],
             ),
         ).alias("text"),
-        F.count("*").alias("n_kept"),
     )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
     # anchor on the INPUT doc ids (assumed unique), not the line table:
     # a doc that is all-empty on input, or loses every line, must still
     # come back (empty text) rather than vanish — this also makes the
     # operator idempotent
     return (
         docs.select("doc_id")
-        .join(totals, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("text", F.lit("")).alias("text"),

@@ -160,6 +160,20 @@ def run_oracle(
                 "lang": p["lang"] or "",  # null policy pinned in operators/ingest.py
             }
         )
+    if cfg.line_dedup_min_docs:
+        # mirror of operators/linededup.dedup_lines(mode='remove'): lines in
+        # >= min_docs DISTINCT docs removed from every doc before signatures
+        df_count: dict[str, set[int]] = defaultdict(set)
+        split_lines = []
+        for r in rows:
+            lines = [ln for ln in r["text"].split("\n\n") if ln]
+            split_lines.append(lines)
+            for ln in set(lines):
+                df_count[ln].add(r["doc_id"])
+        hot = {ln for ln, ds in df_count.items() if len(ds) >= cfg.line_dedup_min_docs}
+        for r, lines in zip(rows, split_lines):
+            r["text"] = "\n\n".join(ln for ln in lines if ln not in hot)
+
     docs = pd.DataFrame(rows)
     res.docs = docs
     a, b = H.minhash_params(cfg.num_perm, cfg.seed, cfg.minhash_prime)

@@ -36,7 +36,9 @@ from deduplication_challenge_spark.operators.consolidate import attach_clusters,
 from deduplication_challenge_spark.operators.ingest import extract_pages
 from deduplication_challenge_spark.operators.signatures import compute_signatures
 
-STAGES = ["ingest", "signatures", "candidates", "verify", "cc", "consolidate"]
+STAGES = ["ingest", "linededup", "signatures", "candidates", "verify", "cc", "consolidate"]
+# 'linededup' runs only when cfg.line_dedup_min_docs is set; all other
+# stages are unconditional
 
 
 @dataclass
@@ -201,6 +203,38 @@ class DedupPipeline:
             lambda: extract_pages(pages, recompute_text=self.recompute_text),
             ingest_counters,
         )
+
+        if cfg.line_dedup_min_docs:
+            # optional sub-document pre-stage: boilerplate lines (>= min_docs
+            # distinct docs) removed BEFORE signatures — dedup then measures
+            # similarity of the content that is unique to each page, and the
+            # shared-paragraph hot LSH buckets never form in the first place
+            from deduplication_challenge_spark.operators.linededup import dedup_lines
+
+            def build_linededup() -> DataFrame:
+                deduped = dedup_lines(
+                    docs.select("doc_id", "text"), min_docs=cfg.line_dedup_min_docs
+                )
+                return docs.drop("text").join(deduped, "doc_id")
+
+            def linededup_counters(df: DataFrame, rows: int) -> dict:
+                agg = df.agg(
+                    F.sum("n_lines").alias("t"),
+                    F.sum("n_removed").alias("r"),
+                    F.sum((F.col("n_removed") > 0).cast("long")).alias("c"),
+                ).collect()[0]
+                return {
+                    "lines_total": int(agg["t"] or 0),
+                    "lines_removed": int(agg["r"] or 0),
+                    "docs_line_deduped": int(agg["c"] or 0),
+                }
+
+            deduped_docs, fp = self._run_stage(
+                report, "linededup", fp, f"min_docs={cfg.line_dedup_min_docs}",
+                build_linededup,
+                linededup_counters,
+            )
+            docs = deduped_docs.drop("n_lines", "n_removed")
 
         sigs, fp = self._run_stage(
             report, "signatures", fp, "docs",

@@ -166,3 +166,54 @@ class TestResume:
         assert m["rows"] == 60
         assert m["config_hash"] == DedupConfig().config_hash()
         assert m["partitions"], "per-partition lineage missing"
+
+
+class TestLineDedupStage:
+    """Optional cfg.line_dedup_min_docs pre-stage: boilerplate paragraphs
+    removed before signatures, Spark==oracle under the SAME config, stage
+    participates in resume."""
+
+    @pytest.fixture(scope="class")
+    def ld_run(self, spark, micro_corpus, tmp_path_factory):
+        from dataclasses import replace
+
+        from deduplication_challenge_spark.config import DedupConfig
+
+        cfg = replace(DedupConfig(), line_dedup_min_docs=2)
+        workdir = str(tmp_path_factory.mktemp("pipe_ld"))
+        pages, _ = corpus_to_spark(spark, micro_corpus)
+        pipe = DedupPipeline(spark, cfg, workdir, include_substring=True, substring_partitions=1)
+        canonical, report = pipe.run(pages, input_desc="micro60-ld")
+        return {"cfg": cfg, "pipe": pipe, "pages": pages,
+                "canonical": canonical.collect(), "report": report}
+
+    def test_boilerplate_gone_from_canonical(self, ld_run, micro_corpus):
+        boiler = micro_corpus.boilerplate
+        assert boiler  # corpus plants one
+        assert all(boiler not in r["text"] for r in ld_run["canonical"])
+
+    def test_counters_and_stage_present(self, ld_run):
+        counters = ld_run["report"].counters
+        assert counters["lines_removed"] >= 1
+        assert counters["docs_line_deduped"] >= 2
+        assert counters["lines_total"] > counters["lines_removed"]
+        assert "linededup" in ld_run["report"].stages
+
+    def test_matches_oracle_under_same_config(self, ld_run, micro_corpus):
+        from deduplication_challenge_spark.oracle import run_oracle
+
+        oracle = run_oracle(micro_corpus.rows, ld_run["cfg"], include_substring=True)
+        url_by_id = {xxhash64_str(p["url"]): p["url"] for p in micro_corpus.rows}
+        oracle_assign = {url_by_id[d]: c for d, c in oracle.assignments.items()}
+        spark_assign = {
+            u: r["cluster_id"] for r in ld_run["canonical"] for u in r["member_urls"]
+        }
+        assert spark_assign == oracle_assign
+
+    def test_stage_resumes(self, ld_run):
+        canonical2, report2 = ld_run["pipe"].run(ld_run["pages"], input_desc="micro60-ld")
+        assert report2.stages["linededup"].skipped
+        assert all(s.skipped for s in report2.stages.values())
+
+    def test_off_by_default(self, pipeline_run):
+        assert "linededup" not in pipeline_run["report"].stages

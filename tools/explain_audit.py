@@ -215,6 +215,24 @@ def main() -> int:
         p,
     )
 
+    # 14. line dedup: hot-line set broadcast (anti-join), no sort-merge
+    # join, no cartesian — the only full shuffle is the per-doc rebuild
+    from deduplication_challenge_spark.operators.linededup import dedup_lines
+
+    ld_docs = spark.createDataFrame([], "doc_id long, text string")
+    p = plan_text(dedup_lines(ld_docs, min_docs=2))
+    check(
+        "line_dedup",
+        ("BroadcastHashJoin" in p)
+        # the ONE allowed sort-merge join is the per-doc anchor (doc_id)
+        # left join that keeps all-empty docs in the output; formatted
+        # plans list each node twice (tree + details), hence <= 2
+        and (p.count("SortMergeJoin") <= 2)
+        and ("CartesianProduct" not in p),
+        "hot lines broadcast-tagged; one rebuild shuffle + one anchor join",
+        p,
+    )
+
     spark.stop()
     return 1 if failures else 0
 

@@ -35,7 +35,14 @@ def main() -> None:
         "--no-recompute-text", action="store_true",
         help="trust the shipped text column (the scan never reads html)",
     )
+    ap.add_argument(
+        "--line-dedup-min-docs", type=int, default=None,
+        help="enable the sub-document pre-stage: remove lines appearing in "
+        ">= N distinct docs before signatures (CCNet boilerplate removal)",
+    )
     args = ap.parse_args()
+
+    from dataclasses import replace
 
     from deduplication_challenge_spark.config import DedupConfig
     from deduplication_challenge_spark.plans.pipeline import DedupPipeline
@@ -46,7 +53,7 @@ def main() -> None:
     )
     pipe = DedupPipeline(
         spark,
-        DedupConfig(),
+        replace(DedupConfig(), line_dedup_min_docs=args.line_dedup_min_docs),
         args.workdir,
         include_substring=not args.no_substring,
         substring_partitions=args.substring_partitions,
