@@ -30,9 +30,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CORPUS_DIR = os.environ.get("SCALING_CORPUS_DIR", "/tmp/dedup_scaling_corpus")
 REPLICAS = int(os.environ.get("SCALING_REPLICAS", "100"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# cache key includes replicas + source sf so a stale corpus from a
+# different scale can never be silently reused across runs
+CORPUS_DIR = os.environ.get(
+    "SCALING_CORPUS_DIR",
+    f"/tmp/dedup_scaling_corpus_{os.path.basename(SF_DIR.rstrip('/'))}_x{REPLICAS}",
+)
 RUNS = int(os.environ.get("SCALING_RUNS", "3"))
 # N and 4N parallelism levels. Default 2->8: hardware calibration (see
 # BASELINE.md) shows this shared VM saturates at ~8-16 concurrent
