@@ -77,7 +77,7 @@ def main() -> None:
         "quality_scores", "lang_id_heuristic", "embedding_norms",
         "embedding_near_dup_pairs_lsh",
         "doc_repetition_signals", "boilerplate_rate_by_source",
-        "paragraph_dedup_docs",
+        "paragraph_dedup_docs", "contamination_flags", "hash_sample_by_source",
         "pricing_summary", "top_customers", "region_nation_rollup",
         "events_user_sessions", "supplier_part_topk",
     ]

@@ -416,6 +416,47 @@ def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py) driver-visible:
+    docs with doc_id < 20 stand in for the eval/benchmark set; every other
+    doc sharing a word-4-gram with it is flagged with its matched-gram
+    count.  n=4 (not the production 8..13) because the synthetic vocabulary
+    is low-entropy — 36 contaminated docs at sf0.01, non-vacuous."""
+    from .operators.decontaminate import contamination_flags
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") < 20).select("text")
+    corpus = d.where(F.col("doc_id") >= 20)
+    return contamination_flags(corpus, bench, n=4)
+
+
+def q_hash_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (operators/sampling.py) driver-visible:
+    25% of docs selected by the md5-prefix rule, counted per source — the
+    SAME rows on any run/cluster/partitioning, and the rule is plain ANSI
+    SQL (the oracle replays it verbatim)."""
+    from .operators.sampling import sample_by_hash
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    totals = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    picked = (
+        sample_by_hash(d, "doc_id", 0.25, salt="s1")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        totals.join(picked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.round(F.coalesce("n_sampled", F.lit(0)) / F.col("n_docs"), 6).alias(
+                "sample_rate"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -763,6 +804,8 @@ QUERIES = {
     "doc_repetition_signals": q_doc_repetition_signals,
     "boilerplate_rate_by_source": q_boilerplate_rate_by_source,
     "paragraph_dedup_docs": q_paragraph_dedup_docs,
+    "contamination_flags": q_contamination_flags,
+    "hash_sample_by_source": q_hash_sample_by_source,
     "embedding_norms": q_embedding_norms,
     "label_centroid_dims": q_label_centroid_dims,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -1029,6 +1072,34 @@ ORACLE_SQL = {
         FROM base b
         LEFT JOIN tot tt ON tt.doc_id = b.doc_id
         LEFT JOIN reb r ON r.doc_id = b.doc_id
+    """,
+    "contamination_flags": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+3], chr(31)))) AS gram
+            FROM toks WHERE len(t) >= 4
+        ), bench AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id < 20
+        )
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_matched_grams
+        FROM g JOIN bench b ON g.gram = b.gram
+        WHERE g.doc_id >= 20
+        GROUP BY g.doc_id
+    """,
+    "hash_sample_by_source": """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 4) < '4000'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               round(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 4) < '4000'
+                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS sample_rate
+        FROM documents
+        GROUP BY source
     """,
     "embedding_norms": """
         SELECT vec_id, label,

@@ -1,0 +1,108 @@
+"""Decontamination + deterministic hash sampling: planted-leak detection,
+python-replayed selection rules, fraction accuracy, strata handling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from deduplication_challenge_spark.operators.decontaminate import (
+    contamination_flags,
+    remove_contaminated,
+)
+from deduplication_challenge_spark.operators.sampling import (
+    sample_by_hash,
+    stratified_sample_by_hash,
+)
+
+
+class TestDecontaminate:
+    def test_planted_leak_flagged(self, spark):
+        bench = spark.createDataFrame(
+            [("the quick brown fox jumps over the lazy dog",)], "text string"
+        )
+        docs = spark.createDataFrame(
+            [
+                # full benchmark sentence inside unrelated text -> contaminated
+                (1, "intro words then the quick brown fox jumps over the lazy dog and more"),
+                # only a 3-gram of the benchmark -> NOT contaminated at n=4
+                (2, "totally unrelated but quick brown fox appears here"),
+                (3, "nothing shared with anything at all in this one"),
+            ],
+            "doc_id long, text string",
+        )
+        flagged = {r["doc_id"]: r["n_matched_grams"]
+                   for r in contamination_flags(docs, bench, n=4).collect()}
+        assert set(flagged) == {1}
+        assert flagged[1] == 6  # 9-token sentence -> 6 distinct 4-grams
+        clean = remove_contaminated(docs, bench, n=4)
+        assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+    def test_case_insensitive_and_duplicate_grams_counted_once(self, spark):
+        bench = spark.createDataFrame([("Alpha Beta Gamma Delta",)], "text string")
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta alpha beta gamma delta")],
+            "doc_id long, text string",
+        )
+        out = contamination_flags(docs, bench, n=4).collect()
+        assert len(out) == 1 and out[0]["n_matched_grams"] == 1  # distinct, lowered
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            contamination_flags(None, None, n=1)
+
+
+def _md5_pick(key, salt: str, fraction: float) -> bool:
+    h = hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:4]
+    return h < format(int(fraction * 0x10000), "04x")
+
+
+class TestHashSampling:
+    @pytest.fixture(scope="class")
+    def keys_df(self, spark):
+        return spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd") for i in range(4000)],
+            "k long, stratum string",
+        )
+
+    def test_exact_python_replay_and_determinism(self, spark, keys_df):
+        got = sorted(r["k"] for r in sample_by_hash(keys_df, "k", 0.25, salt="s").collect())
+        expected = sorted(i for i in range(4000) if _md5_pick(i, "s", 0.25))
+        assert got == expected
+        again = sorted(r["k"] for r in sample_by_hash(keys_df, "k", 0.25, salt="s").collect())
+        assert got == again
+
+    def test_fraction_accuracy(self, keys_df):
+        n = sample_by_hash(keys_df, "k", 0.25, salt="x").count()
+        assert abs(n / 4000 - 0.25) < 0.03  # binomial: sd ~ 0.007
+
+    def test_salts_give_independent_samples(self, keys_df):
+        a = {r["k"] for r in sample_by_hash(keys_df, "k", 0.5, salt="a").collect()}
+        b = {r["k"] for r in sample_by_hash(keys_df, "k", 0.5, salt="b").collect()}
+        overlap = len(a & b) / 4000
+        assert 0.15 < overlap < 0.35  # ~0.25 if independent; 0.5 if correlated
+
+    def test_edges(self, keys_df):
+        assert sample_by_hash(keys_df, "k", 0.0).count() == 0
+        assert sample_by_hash(keys_df, "k", 1.0).count() == 4000
+        with pytest.raises(ValueError):
+            sample_by_hash(keys_df, "k", 1.5)
+
+    def test_stratified(self, keys_df):
+        out = stratified_sample_by_hash(
+            keys_df, "stratum", {"even": 0.5, "odd": 0.1}, "k", salt="z"
+        ).collect()
+        got = {(r["k"], r["stratum"]) for r in out}
+        for k, stratum in got:
+            frac = 0.5 if stratum == "even" else 0.1
+            assert _md5_pick(k, "z", frac)
+        n_even = sum(1 for _, s in got if s == "even")
+        n_odd = sum(1 for _, s in got if s == "odd")
+        assert abs(n_even / 2000 - 0.5) < 0.05
+        assert abs(n_odd / 2000 - 0.1) < 0.04
+
+    def test_stratified_default_drops_unlisted(self, spark):
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, stratum string")
+        out = stratified_sample_by_hash(df, "stratum", {"x": 1.0}, "k")
+        assert [r["stratum"] for r in out.collect()] == ["x"]

@@ -233,6 +233,31 @@ def main() -> int:
         p,
     )
 
+    # 15. contamination flags: benchmark gram set broadcast onto the
+    # training stream — no sort-merge join, no cartesian
+    p = plan_text(eq.QUERIES["contamination_flags"](spark, sf_dir))
+    check(
+        "contamination_flags",
+        ("BroadcastHashJoin" in p)
+        and ("SortMergeJoin" not in p)
+        and ("CartesianProduct" not in p),
+        "benchmark grams broadcast; corpus text never shuffles",
+        p,
+    )
+
+    # 16. hash sampling: the selection predicate is a row-local scan filter
+    # (zero exchanges before the per-source rollup pair)
+    from deduplication_challenge_spark.operators.sampling import sample_by_hash
+
+    sdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    p = plan_text(sample_by_hash(sdocs, "doc_id", 0.25, salt="s1"))
+    check(
+        "hash_sampling",
+        "Exchange" not in p,
+        "zero exchanges — deterministic row-local selection",
+        p,
+    )
+
     spark.stop()
     return 1 if failures else 0
 
