@@ -457,6 +457,35 @@ def q_hash_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/redact.py) driver-visible: driver documents
+    carry no PII, so deterministic emails/IPs are appended first (doc_id % 7
+    -> an email, doc_id % 11 -> an IPv4), then redacted; the query reports
+    per-doc counts and the md5 of the redacted text (pins the full
+    replacement behavior without shipping 500 long strings)."""
+    from .operators.redact import redact_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+    )
+    red = redact_pii(d.withColumn("text", pii_text), kinds=("email", "ipv4"))
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.md5("text").alias("redacted_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -806,6 +835,7 @@ QUERIES = {
     "paragraph_dedup_docs": q_paragraph_dedup_docs,
     "contamination_flags": q_contamination_flags,
     "hash_sample_by_source": q_hash_sample_by_source,
+    "pii_redaction": q_pii_redaction,
     "embedding_norms": q_embedding_norms,
     "label_centroid_dims": q_label_centroid_dims,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -1100,6 +1130,28 @@ ORACLE_SQL = {
                               THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS sample_rate
         FROM documents
         GROUP BY source
+    """,
+    "pii_redaction": """
+        WITH pii AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                           ELSE '' END AS t
+            FROM documents
+        ), emailed AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+                   regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '|||EMAIL|||', 'g') AS t
+            FROM pii
+        )
+        SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+               md5(regexp_replace(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '|||IP|||', 'g')) AS redacted_md5
+        FROM emailed
     """,
     "embedding_norms": """
         SELECT vec_id, label,

@@ -258,6 +258,15 @@ def main() -> int:
         p,
     )
 
+    # 17. PII redaction: row-local regexp projection — zero exchanges
+    p = plan_text(eq.QUERIES["pii_redaction"](spark, sf_dir))
+    check(
+        "pii_redaction",
+        "Exchange" not in p,
+        "zero exchanges — row-local regexp redaction",
+        p,
+    )
+
     spark.stop()
     return 1 if failures else 0
 
