@@ -486,6 +486,21 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py) driver-visible: documents
+    packed into 512-token context windows by the deterministic next-fit
+    rule (tokens = whitespace count).  Rows-only by design — greedy
+    packing is iterative, not SQL-expressible; the pinned contract lives
+    in tests/test_packing.py (pure-Python differential, layout
+    independence, fill bound)."""
+    from .operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    d = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    return pack_sequences(d, budget=512, n_buckets=16)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -836,6 +851,7 @@ QUERIES = {
     "contamination_flags": q_contamination_flags,
     "hash_sample_by_source": q_hash_sample_by_source,
     "pii_redaction": q_pii_redaction,
+    "sequence_packs": q_sequence_packs,
     "embedding_norms": q_embedding_norms,
     "label_centroid_dims": q_label_centroid_dims,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,

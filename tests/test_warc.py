@@ -1,0 +1,87 @@
+"""WARC source: record-level roundtrips, malformed-tail tolerance, and an
+end-to-end equivalence — the pipeline over a .warc.gz produces exactly the
+clusters it produces over the same pages as parquet rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from deduplication_challenge_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    warc_bytes_to_pages,
+    write_warc,
+)
+
+ROWS = [
+    {"url": "https://w/1", "warc_ts": dt.datetime(2025, 1, 1, 0, 0, 0),
+     "html": b"<html><body><p>alpha beta</p></body></html>"},
+    {"url": "https://w/2", "warc_ts": dt.datetime(2025, 1, 1, 0, 1, 0),
+     "html": b"<html><body><p>gamma delta</p></body></html>"},
+]
+
+
+class TestWarcCodec:
+    @pytest.mark.parametrize("gz", [True, False])
+    def test_roundtrip(self, gz):
+        data = write_warc(ROWS, gzip_members=gz)
+        pages = warc_bytes_to_pages(data)
+        assert [p["url"] for p in pages] == ["https://w/1", "https://w/2"]
+        assert pages[0]["html"] == ROWS[0]["html"]  # HTTP headers stripped
+        assert pages[0]["warc_ts"] == ROWS[0]["warc_ts"]
+
+    def test_non_response_records_skipped(self):
+        req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+               b"WARC-Target-URI: https://w/9\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+        data = req + write_warc(ROWS[:1], gzip_members=False)
+        assert [p["url"] for p in warc_bytes_to_pages(data)] == ["https://w/1"]
+
+    def test_truncated_tail_yields_complete_prefix(self):
+        data = write_warc(ROWS, gzip_members=False)
+        cut = data[: len(data) - 20]  # tear the second record's body
+        assert [h.get("warc-target-uri") for h, _ in iter_warc_records(cut)] == [
+            "https://w/1"
+        ]
+
+    def test_garbage_is_empty_not_raising(self):
+        assert warc_bytes_to_pages(b"not a warc at all") == []
+        assert warc_bytes_to_pages(b"") == []
+
+
+class TestWarcPipelineEquivalence:
+    def test_warc_and_parquet_paths_agree(self, spark, micro_corpus, tmp_path_factory):
+        """Flagship: DedupPipeline over read_warc(.warc.gz of the synth
+        corpus) == DedupPipeline over the same rows as a DataFrame — same
+        canonical count and cluster membership."""
+        from deduplication_challenge_spark.config import DedupConfig
+        from deduplication_challenge_spark.plans.pipeline import DedupPipeline
+        from tests.test_spark_pipeline import corpus_to_spark
+
+        warc_path = tmp_path_factory.mktemp("warc_in")
+        rows = [
+            {"url": p["url"], "warc_ts": p["warc_ts"], "html": p["html"]}
+            for p in micro_corpus.rows
+        ]
+        # shard across two archives to exercise per-file parallelism
+        (warc_path / "part-0.warc.gz").write_bytes(write_warc(rows[::2]))
+        (warc_path / "part-1.warc.gz").write_bytes(write_warc(rows[1::2]))
+
+        pages_warc = read_warc(spark, str(warc_path))
+        assert pages_warc.count() == len(rows)
+
+        wd1 = str(tmp_path_factory.mktemp("wd_warc"))
+        can_warc, _ = DedupPipeline(
+            spark, DedupConfig(), wd1, include_substring=True, substring_partitions=1
+        ).run(pages_warc, input_desc="warc")
+
+        pages_df, _ = corpus_to_spark(spark, micro_corpus)
+        wd2 = str(tmp_path_factory.mktemp("wd_df"))
+        can_df, _ = DedupPipeline(
+            spark, DedupConfig(), wd2, include_substring=True, substring_partitions=1
+        ).run(pages_df, input_desc="df")
+
+        got = {tuple(sorted(r["member_urls"])) for r in can_warc.collect()}
+        want = {tuple(sorted(r["member_urls"])) for r in can_df.collect()}
+        assert got == want
