@@ -50,6 +50,40 @@ from deduplication_challenge_spark.operators.ingest import extract_pages
 from deduplication_challenge_spark.operators.signatures import compute_signatures
 
 
+def lsh_cross_candidates(bands_new: DataFrame, bands_old: DataFrame) -> DataFrame:
+    """Cross candidates (src=new, dst=old): band equi-join pruning the index
+    to buckets containing a new doc; min old doc per bucket bounds fan-out
+    at <= bands edges per new doc (the star-edge analog)."""
+    return (
+        bands_new.join(
+            bands_old.groupBy("band_idx", "band_hash").agg(
+                F.min("doc_id").alias("old_doc")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select(F.col("doc_id").alias("src"), F.col("old_doc").alias("dst"))
+        .distinct()
+    )
+
+
+def simhash_cross_candidates(
+    chunks_new: DataFrame, chunks_old: DataFrame, hamming_k: int
+) -> DataFrame:
+    """Manku's online probe as an equi-join: new permuted chunk keys vs the
+    index's chunk table (min old per bucket), accepted on Hamming <= k."""
+    old_min = chunks_old.groupBy("chunk_idx", "chunk_val").agg(
+        F.min(F.struct("doc_id", "simhash")).alias("o")
+    )
+    return (
+        chunks_new.join(old_min, ["chunk_idx", "chunk_val"])
+        .where(
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("o.simhash"))) <= hamming_k
+        )
+        .select(F.col("doc_id").alias("src"), F.col("o.doc_id").alias("dst"))
+        .distinct()
+    )
+
+
 class IncrementalDedup:
     """Attach new pages to the index in ``index_workdir`` (a completed
     DedupPipeline workdir with the SAME config)."""
@@ -85,39 +119,16 @@ class IncrementalDedup:
         bands_new = lsh.band_table(sigs_new)
         bands_old = lsh.band_table(sigs_old)
 
-        # cross edges: per (band bucket containing a new doc), each new doc
-        # pairs with the MIN old doc in that bucket — bounded fan-out
-        cross = (
-            bands_new.join(
-                bands_old.groupBy("band_idx", "band_hash").agg(
-                    F.min("doc_id").alias("old_doc")
-                ),
-                ["band_idx", "band_hash"],
-            )
-            .select(F.col("doc_id").alias("src"), F.col("old_doc").alias("dst"))
-            .distinct()
-        )
+        cross = lsh_cross_candidates(bands_new, bands_old)
         sigs_union = sigs_new.unionByName(sigs_old)
         cross_lsh = verify.verify_pairs(cross, sigs_union, cfg).select("src", "dst")
 
-        # SimHash cross probe — Manku's design IS an online one (query new
-        # fingerprints against the index's permuted chunk tables); in
-        # DataFrame terms that is an equi-join on (chunk_idx, chunk_val)
-        # with the min old doc per bucket, accepted on Hamming <= k
         from deduplication_challenge_spark.operators.simhash import simhash_chunk_table
 
-        chunks_new = simhash_chunk_table(sigs_new, cfg)
-        old_min = simhash_chunk_table(sigs_old, cfg).groupBy(
-            "chunk_idx", "chunk_val"
-        ).agg(F.min(F.struct("doc_id", "simhash")).alias("o"))
-        cross_sim = (
-            chunks_new.join(old_min, ["chunk_idx", "chunk_val"])
-            .where(
-                F.bit_count(F.col("simhash").bitwiseXOR(F.col("o.simhash")))
-                <= cfg.hamming_k
-            )
-            .select(F.col("doc_id").alias("src"), F.col("o.doc_id").alias("dst"))
-            .distinct()
+        cross_sim = simhash_cross_candidates(
+            simhash_chunk_table(sigs_new, cfg),
+            simhash_chunk_table(sigs_old, cfg),
+            cfg.hamming_k,
         )
         cross_ok = cross_lsh.unionByName(cross_sim).distinct()
 

@@ -122,9 +122,14 @@ def _with_canopy_key(docs: DataFrame, cfg=None) -> DataFrame:
 
 def _duration_ms(spec: str) -> int:
     """Parse a simple '<n> second(s)|minute(s)|hour(s)|day(s)' duration."""
-    n, unit = spec.strip().split()
     scale = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
-    return int(n) * scale[unit.rstrip("s")]
+    try:
+        n, unit = spec.strip().split()
+        return int(n) * scale[unit.rstrip("s")]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"unsupported duration {spec!r}: use '<n> second(s)/minute(s)/hour(s)/day(s)'"
+        ) from None
 
 
 TAGGED_SCHEMA = (

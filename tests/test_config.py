@@ -37,3 +37,30 @@ def test_valid_range_accepted():
 
 def test_config_hash_changes_with_knobs():
     assert DedupConfig().config_hash() != DedupConfig(substr_verify=True).config_hash()
+
+
+def test_line_dedup_min_docs_validated():
+    from dataclasses import replace
+
+    import pytest
+
+    from deduplication_challenge_spark.config import DedupConfig
+
+    assert DedupConfig().line_dedup_min_docs is None
+    replace(DedupConfig(), line_dedup_min_docs=2)  # valid
+    with pytest.raises(ValueError):
+        replace(DedupConfig(), line_dedup_min_docs=1)
+
+
+def test_stream_duration_parse():
+    import pytest
+
+    from deduplication_challenge_spark.streaming.stream_ops import _duration_ms
+
+    assert _duration_ms("1 hour") == 3_600_000
+    assert _duration_ms("90 seconds") == 90_000
+    assert _duration_ms("2 days") == 172_800_000
+    with pytest.raises(ValueError, match="unsupported duration"):
+        _duration_ms("1h")
+    with pytest.raises(ValueError, match="unsupported duration"):
+        _duration_ms("soon")

@@ -267,6 +267,30 @@ def main() -> int:
         p,
     )
 
+    # 18. incremental cross candidates: band/chunk equi-joins only (the
+    # index side aggregates to min-per-bucket BEFORE the join) — no
+    # sort-merge of raw band tables, no cartesian, no full-index pairing
+    from deduplication_challenge_spark.plans.incremental import (
+        lsh_cross_candidates,
+        simhash_cross_candidates,
+    )
+
+    bands = spark.createDataFrame([], "doc_id long, band_idx int, band_hash long")
+    chunks = spark.createDataFrame(
+        [], "doc_id long, simhash long, chunk_idx int, chunk_val long"
+    )
+    p = plan_text(lsh_cross_candidates(bands, bands)) + plan_text(
+        simhash_cross_candidates(chunks, chunks, 3)
+    )
+    check(
+        "incremental_cross",
+        ("CartesianProduct" not in p)
+        and ("BroadcastNestedLoopJoin" not in p)
+        and ("HashAggregate" in p),  # min-old-per-bucket partial agg present
+        "equi-join cross probes with min-per-bucket index pruning",
+        p,
+    )
+
     spark.stop()
     return 1 if failures else 0
 
