@@ -209,4 +209,32 @@ class IncrementalDedup:
             "scope": "minhash-lsh+verify cross; lsh+simhash new-new; "
                      "substring pass deferred to full-run compaction",
         }
+        self._last = (docs_new, sigs_new, assignments_new)
         return canonical_updates, assignments_new, bridges, report
+
+    def extend_index(self) -> None:
+        """Grow the index with the batch from the last ``run`` so the NEXT
+        batch attaches against everything seen so far — the operational
+        loop: run(B); extend_index(); run(C); ...
+
+        Appends the batch's docs / signatures / assignments to the index
+        stage tables (parquet append — on Iceberg this is a snapshot
+        append).  Re-crawled urls are NOT rewritten: the cross probe reads
+        both versions' signatures, which can only add recall, and the
+        consolidation layer is last-write-wins by doc_id.  The workdir
+        stops being a resumable DedupPipeline checkpoint once extended —
+        its stage manifests describe the ORIGINAL run — so the manifests
+        are deleted to make any later resume attempt rebuild loudly
+        instead of silently reusing stale fingerprints."""
+        if not hasattr(self, "_last"):
+            raise RuntimeError("extend_index() requires a completed run() first")
+        docs_new, sigs_new, assignments_new = self._last
+        docs_new.write.mode("append").parquet(os.path.join(self.workdir, "ingest"))
+        sigs_new.write.mode("append").parquet(os.path.join(self.workdir, "signatures"))
+        assignments_new.select("doc_id", "cluster_id").write.mode("append").parquet(
+            os.path.join(self.workdir, "cc")
+        )
+        for name in os.listdir(self.workdir):
+            if name.endswith(".manifest.json"):
+                os.remove(os.path.join(self.workdir, name))
+        del self._last

@@ -124,27 +124,125 @@ class TestBridges:
         import datetime as dt
 
         cfg = DedupConfig()
-        base_a = "alpha beta gamma delta epsilon zeta eta theta " * 6
-        base_b = "one two three four five six seven eight nine ten " * 6
+        text_a, text_c, text_bridge = _bridge_corpus()
         mk = lambda u, t: (u, dt.datetime(2025, 1, 1), None, t, "en")
         idx_pages = spark.createDataFrame(
-            [mk("https://i/a1", base_a), mk("https://i/a2", base_a),
-             mk("https://i/b1", base_b), mk("https://i/b2", base_b)],
+            [mk("https://i/a1", text_a), mk("https://i/a2", text_a),
+             mk("https://i/c1", text_c), mk("https://i/c2", text_c)],
             PAGES_DDL,
         )
         wd = str(tmp_path_factory.mktemp("bridge_idx"))
-        DedupPipeline(spark, cfg, wd, include_substring=False).run(idx_pages, "idx")
-        # the bridging doc: half of each corpus-A/corpus-B text
-        half = len(base_a) // 1  # keep full halves for high Jaccard per side
-        bridge_text = base_a + " " + base_b
+        can_idx, _ = DedupPipeline(spark, cfg, wd, include_substring=False).run(idx_pages, "idx")
+        assert can_idx.count() == 2  # A-pair and C-pair stay SEPARATE clusters
         new_pages = spark.createDataFrame(
-            [mk("https://i/bridge", bridge_text)], PAGES_DDL
+            [mk("https://i/bridge", text_bridge)], PAGES_DDL
         )
         _, assignments_new, bridges, report = IncrementalDedup(spark, cfg, wd).run(new_pages)
         b = bridges.collect()
-        if b:  # bridge detected through both sides' buckets
-            assert b[0]["n_old_clusters"] == 2
-            assert report["bridges"] == 1
-        # either way the doc attaches deterministically to ONE cluster
+        assert len(b) == 1 and b[0]["n_old_clusters"] == 2
+        assert report["bridges"] == 1
+        # the doc attaches deterministically to the MIN of the two clusters
         rows = assignments_new.collect()
-        assert len(rows) == 1 and rows[0]["attached"] in (True, False)
+        assert len(rows) == 1 and rows[0]["attached"]
+        assert rows[0]["cluster_id"] == min(b[0]["bridged_clusters"])
+
+
+
+def _bridge_corpus():
+    """Seeded corpus where a bridge is DETECTABLE by construction: base text
+    A, variant C with 16 token edits (estJ(A,C) ~ 0.62 < threshold 0.70 ->
+    separate clusters), and a bridge doc with HALF of C's edits
+    (estJ ~ 0.76 / 0.79 to each side -> verifies to both)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vocab = [f"w{i:03d}" for i in range(500)]
+    base = [vocab[int(rng.integers(500))] for _ in range(200)]
+
+    def edit(toks, idxs):
+        out = list(toks)
+        for i in idxs:
+            out[i] = "z" + out[i]
+        return out
+
+    idxs = list(rng.choice(200, size=16, replace=False))
+    return " ".join(base), " ".join(edit(base, idxs)), " ".join(edit(base, idxs[:8]))
+
+
+class TestChainedBatches:
+    def test_three_way_chain_matches_full_run(self, spark, micro_corpus, tmp_path_factory):
+        """A -> +B -> extend -> +C equals the full A+B+C run (same scope):
+        the operational loop where the index grows after every batch."""
+        cfg = DedupConfig()
+        rows = micro_corpus.rows
+        batches = [rows[0::3], rows[1::3], rows[2::3]]
+        dfs = [
+            spark.createDataFrame(
+                [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang")) for r in b],
+                PAGES_DDL,
+            )
+            for b in batches
+        ]
+        wd = str(tmp_path_factory.mktemp("chain_idx"))
+        can_a, _ = DedupPipeline(spark, cfg, wd, include_substring=False).run(
+            dfs[0], input_desc="chain-a"
+        )
+        from deduplication_challenge_spark.oracle import xxhash64_str
+
+        url_by_id = {xxhash64_str(r["url"]): r["url"] for r in rows}
+        assign = {u: r["cluster_id"] for r in can_a.collect() for u in r["member_urls"]}
+
+        inc = IncrementalDedup(spark, cfg, wd)
+        for df in dfs[1:]:
+            _, assignments_new, _, _ = inc.run(df)
+            for r in assignments_new.collect():
+                assign[url_by_id[r["doc_id"]]] = r["cluster_id"]
+            inc.extend_index()
+
+        wd_full = str(tmp_path_factory.mktemp("chain_full"))
+        can_full, _ = DedupPipeline(spark, cfg, wd_full, include_substring=False).run(
+            dfs[0].unionByName(dfs[1]).unionByName(dfs[2]), input_desc="chain-abc"
+        )
+        full_assign = {
+            u: r["cluster_id"] for r in can_full.collect() for u in r["member_urls"]
+        }
+        assert _pairs(assign) == _pairs(full_assign)
+
+    def test_extend_requires_run(self, spark, micro_corpus, tmp_path_factory):
+        cfg = DedupConfig()
+        wd = str(tmp_path_factory.mktemp("chain_noop"))
+        pages = spark.createDataFrame(
+            [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang"))
+             for r in micro_corpus.rows[:4]],
+            PAGES_DDL,
+        )
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(pages, "t")
+        with pytest.raises(RuntimeError, match="requires a completed run"):
+            IncrementalDedup(spark, cfg, wd).extend_index()
+
+
+class TestCompaction:
+    def test_bridges_resolve_under_full_recluster(self, spark, tmp_path_factory):
+        """Compaction = run the full pipeline over everything: the bridge
+        the incremental pass RECORDED becomes an actual merge."""
+        import datetime as dt
+
+        cfg = DedupConfig()
+        text_a, text_c, text_bridge = _bridge_corpus()
+        mk = lambda u, t: (u, dt.datetime(2025, 1, 1), None, t, "en")
+        idx_rows = [mk("https://c/a1", text_a), mk("https://c/a2", text_a),
+                    mk("https://c/c1", text_c), mk("https://c/c2", text_c)]
+        idx_pages = spark.createDataFrame(idx_rows, PAGES_DDL)
+        wd = str(tmp_path_factory.mktemp("compact_idx"))
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(idx_pages, "idx")
+        bridge_rows = [mk("https://c/bridge", text_bridge)]
+        new_pages = spark.createDataFrame(bridge_rows, PAGES_DDL)
+        _, _, bridges, _ = IncrementalDedup(spark, cfg, wd).run(new_pages)
+        assert bridges.count() == 1  # the bridge the incremental pass recorded
+        wd2 = str(tmp_path_factory.mktemp("compact_full"))
+        can, _ = DedupPipeline(spark, cfg, wd2, include_substring=False).run(
+            idx_pages.unionByName(new_pages), "compacted"
+        )
+        clusters = {tuple(sorted(r["member_urls"])) for r in can.collect()}
+        merged = next((c for c in clusters if "https://c/bridge" in c), None)
+        assert merged is not None and len(merged) == 5  # one merged cluster
