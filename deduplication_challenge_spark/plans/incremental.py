@@ -89,6 +89,18 @@ class IncrementalDedup:
     DedupPipeline workdir with the SAME config)."""
 
     def __init__(self, spark: SparkSession, cfg: DedupConfig, index_workdir: str) -> None:
+        if cfg.line_dedup_min_docs:
+            # line dedup is a CORPUS-WIDE document-frequency decision; a
+            # batch cannot recompute it consistently with the index (the
+            # index's signatures were taken over line-deduped text, the
+            # batch would approximate with batch-local frequencies and the
+            # signatures would disagree).  Loud beats approximate: run the
+            # stage at full-run compaction time instead.
+            raise ValueError(
+                "line_dedup_min_docs is a full-run (compaction) stage; "
+                "incremental attach over a line-deduped index would compute "
+                "inconsistent signatures — unset it for delta batches"
+            )
         self.spark = spark
         self.cfg = cfg
         self.workdir = index_workdir

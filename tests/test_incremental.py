@@ -246,3 +246,13 @@ class TestCompaction:
         clusters = {tuple(sorted(r["member_urls"])) for r in can.collect()}
         merged = next((c for c in clusters if "https://c/bridge" in c), None)
         assert merged is not None and len(merged) == 5  # one merged cluster
+
+
+def test_line_dedup_config_rejected_for_incremental(spark, tmp_path_factory):
+    """line dedup is a corpus-wide df decision: a batch cannot recompute it
+    consistently with the index, so the combination fails LOUDLY."""
+    from dataclasses import replace
+
+    wd = str(tmp_path_factory.mktemp("inc_ld"))
+    with pytest.raises(ValueError, match="full-run .compaction. stage"):
+        IncrementalDedup(spark, replace(DedupConfig(), line_dedup_min_docs=2), wd)
