@@ -40,7 +40,10 @@ _CRLF = b"\r\n"
 
 
 def _gunzip_all(data: bytes) -> bytes:
-    """Decompress a possibly multi-member gzip stream (or passthrough)."""
+    """Decompress a possibly multi-member gzip stream (or passthrough).
+    A corrupt/truncated member ends decompression with the intact prefix —
+    damaged segment files are routine at crawl scale and must cost their
+    own records only, never the task."""
     if data[:2] != b"\x1f\x8b":
         return data
     out = io.BytesIO()
@@ -49,8 +52,11 @@ def _gunzip_all(data: bytes) -> bytes:
 
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)  # gzip wrapper
-        out.write(d.decompress(data[pos:]))
-        out.write(d.flush())
+        try:
+            out.write(d.decompress(data[pos:]))
+            out.write(d.flush())
+        except zlib.error:
+            break
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break
@@ -95,41 +101,55 @@ def _http_body(payload: bytes) -> bytes:
     return payload[sep + 4 :] if sep >= 0 else payload
 
 
-def warc_bytes_to_pages(data: bytes) -> list[dict]:
-    """One WARC archive -> pages rows (response records only)."""
+def warc_bytes_to_pages(data: bytes, record_type: str = "response") -> list[dict]:
+    """One WARC archive -> pages rows.
+
+    ``record_type='response'``: raw-crawl WARC — the HTTP body becomes the
+    ``html`` column, text extraction happens downstream in ingest.
+    ``record_type='conversion'``: Common Crawl WET — the payload IS
+    extracted utf-8 text, shipped in the ``text`` column with ``html``
+    null (the pruned-ingest plan: the scan never touches html)."""
     rows = []
     for headers, payload in iter_warc_records(data):
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") != record_type:
             continue
         url = headers.get("warc-target-uri")
         if not url:
             continue
         ts = pd.to_datetime(headers.get("warc-date"), utc=True, errors="coerce")
+        if record_type == "conversion":
+            html, text = None, payload.decode("utf-8", errors="replace")
+        else:
+            html, text = _http_body(payload), None
         rows.append(
             {
                 "url": url,
                 "warc_ts": None if ts is pd.NaT else ts.tz_localize(None),
-                "html": _http_body(payload),
-                "text": None,  # extraction happens in the ingest stage
+                "html": html,
+                "text": text,
                 "lang": None,
             }
         )
     return rows
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC file(s)/glob -> pages DataFrame (url, warc_ts, html, text, lang).
+def read_warc(spark: SparkSession, path: str, record_type: str = "response") -> DataFrame:
+    """WARC/WET file(s)/glob -> pages DataFrame (url, warc_ts, html, text,
+    lang).  ``record_type='conversion'`` reads Common Crawl WET text
+    records (pair with ``extract_pages(recompute_text=False)``).
 
     Parsing runs executor-side via mapInPandas over binaryFile rows; feed
     the result to DedupPipeline.run (ingest's html->text extraction and
     null-policy then apply as for any pages input)."""
+    if record_type not in ("response", "conversion"):
+        raise ValueError(f"record_type must be 'response' or 'conversion', got {record_type!r}")
     files = spark.read.format("binaryFile").load(path).select("content")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
             for content in pdf["content"]:
-                rows = warc_bytes_to_pages(bytes(content))
+                rows = warc_bytes_to_pages(bytes(content), record_type)
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 

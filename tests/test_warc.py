@@ -85,3 +85,34 @@ class TestWarcPipelineEquivalence:
         got = {tuple(sorted(r["member_urls"])) for r in can_warc.collect()}
         want = {tuple(sorted(r["member_urls"])) for r in can_df.collect()}
         assert got == want
+
+
+class TestWetAndCorruption:
+    def test_wet_conversion_records(self, spark, tmp_path_factory):
+        """Common Crawl WET: 'conversion' records carry extracted text; the
+        reader ships it in the text column with html null (pruned plan)."""
+        text = "already extracted text\n\nsecond paragraph"
+        body = text.encode()
+        rec = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+               b"WARC-Target-URI: https://w/wet\r\n"
+               b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+               + f"Content-Length: {len(body)}\r\n".encode()
+               + b"\r\n" + body + b"\r\n\r\n")
+        path = tmp_path_factory.mktemp("wet")
+        (path / "f.warc.gz").write_bytes(__import__("gzip").compress(rec))
+        out = read_warc(spark, str(path), record_type="conversion").collect()
+        assert len(out) == 1
+        assert out[0]["text"] == text and out[0]["html"] is None
+        # response-mode read of the same file yields nothing (type filter)
+        assert read_warc(spark, str(path)).count() == 0
+        with pytest.raises(ValueError, match="record_type"):
+            read_warc(spark, str(path), record_type="metadata")
+
+    def test_corrupt_gzip_member_yields_prefix(self):
+        """A truncated/corrupt gzip member costs its own records only."""
+        import gzip as _gzip
+
+        good = write_warc(ROWS[:1])
+        bad = _gzip.compress(b"x" * 50)[:20]  # torn member
+        pages = warc_bytes_to_pages(good + bad)
+        assert [p["url"] for p in pages] == ["https://w/1"]
