@@ -78,7 +78,7 @@ def main() -> None:
         "embedding_near_dup_pairs_lsh",
         "doc_repetition_signals", "boilerplate_rate_by_source",
         "paragraph_dedup_docs", "contamination_flags", "hash_sample_by_source",
-        "pii_redaction",
+        "pii_redaction", "url_canonicalization",
         "pricing_summary", "top_customers", "region_nation_rollup",
         "events_user_sessions", "supplier_part_topk",
     ]

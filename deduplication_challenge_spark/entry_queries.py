@@ -501,6 +501,30 @@ def q_sequence_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=512, n_buckets=16)
 
 
+def q_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urlnorm.py) driver-visible: derive a
+    deterministically MESSY url per doc (case noise, www., default ports,
+    trailing slash, fragments, by doc_id % 4), canonicalize, and return
+    both — the DuckDB oracle re-implements the pinned rules in its own
+    regex dialect, so a hash match pins rule SEMANTICS cross-engine."""
+    from .operators.urlnorm import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    messy = (
+        F.when(m == 0, F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"), i))
+        .when(m == 1, F.concat(F.lit("HTTP://WWW."), F.upper("source"), F.lit(".EXAMPLE:80/doc/"), i, F.lit("/")))
+        .when(m == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".example:443/doc/"), i, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("https://www."), F.col("source"), F.lit(".example/doc/"), i, F.lit("?q=1")))
+    )
+    return d.select(
+        "doc_id",
+        messy.alias("messy_url"),
+        canonical_url(messy).alias("canonical_url"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -852,6 +876,7 @@ QUERIES = {
     "hash_sample_by_source": q_hash_sample_by_source,
     "pii_redaction": q_pii_redaction,
     "sequence_packs": q_sequence_packs,
+    "url_canonicalization": q_url_canonicalization,
     "embedding_norms": q_embedding_norms,
     "label_centroid_dims": q_label_centroid_dims,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -1168,6 +1193,33 @@ ORACLE_SQL = {
                CAST(len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
                md5(regexp_replace(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '|||IP|||', 'g')) AS redacted_md5
         FROM emailed
+    """,
+    "url_canonicalization": """
+        WITH messy AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN 'HTTP://WWW.' || upper(source) || '.EXAMPLE:80/doc/' || CAST(doc_id AS VARCHAR) || '/'
+                     WHEN 2 THEN 'https://' || source || '.example:443/doc/' || CAST(doc_id AS VARCHAR) || '#frag'
+                     ELSE 'https://www.' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) || '?q=1'
+                   END AS u
+            FROM documents
+        ), parts AS (
+            SELECT doc_id, u,
+                   regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+            FROM messy
+        ), split AS (
+            SELECT doc_id, u,
+                   lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS host,
+                   regexp_extract(rest, '^[^/?#]*([^#]*)', 1) AS path
+            FROM parts
+        )
+        SELECT doc_id,
+               u AS messy_url,
+               'https://'
+                 || regexp_replace(regexp_replace(host, '^www\\.', ''), ':(80|443)$', '')
+                 || regexp_replace(path, '(.)/$', '\\1') AS canonical_url
+        FROM split
     """,
     "embedding_norms": """
         SELECT vec_id, label,

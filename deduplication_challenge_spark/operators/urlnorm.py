@@ -1,0 +1,59 @@
+"""URL canonicalization + URL-level dedup — the cheapest first pass of a
+crawl pipeline: the same page crawled as ``http://WWW.Example.com:80/a/`` and
+``https://example.com/a`` should collapse BEFORE any content hashing runs.
+
+Canonicalization rules (pinned, conservative — rules that can change which
+resource a url names, like query-param sorting or index.html stripping, are
+deliberately NOT applied):
+  * scheme and host lowercased; ``www.`` prefix dropped from the host;
+  * default ports stripped (``:80`` for http, ``:443`` for https);
+  * fragment (``#...``) dropped — fragments never reach the server;
+  * trailing slash dropped from non-root paths;
+  * scheme folded to https (http and https crawls of one host are the
+    same resource corpus for dedup purposes).
+
+Scale shape: pure row-local regexp/string expressions — zero shuffles,
+whole-stage codegen; the dedup step is one hash aggregate on the canonical
+url (first-seen by (warc_ts, url) wins, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a url column (see module rules)."""
+    u = F.col(col) if isinstance(col, str) else col
+    # split scheme://host[:port]/rest once; non-matching strings pass through
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    path = F.regexp_extract(rest, r"^[^/?#]*([^#]*)", 1)  # path+query, no fragment
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_replace(path, r"(.)/$", "$1")  # trailing slash, non-root
+    return F.when(
+        scheme == "", u  # not a scheme://... url: pass through untouched
+    ).otherwise(F.concat(F.lit("https://"), host, path))
+
+
+def dedup_by_url(pages: DataFrame) -> DataFrame:
+    """First-seen page per canonical url: (all input columns +
+    canonical_url), one row per canonical url, earliest (warc_ts, url)
+    wins — deterministic at any partitioning."""
+    with_canon = pages.withColumn("canonical_url", canonical_url("url"))
+    winner = with_canon.groupBy("canonical_url").agg(
+        F.min(F.struct("warc_ts", "url")).alias("w")
+    )
+    return with_canon.join(
+        winner.select(
+            "canonical_url",
+            F.col("w.warc_ts").alias("_wts"),
+            F.col("w.url").alias("_wurl"),
+        ),
+        "canonical_url",
+    ).where(
+        (F.col("warc_ts") == F.col("_wts")) & (F.col("url") == F.col("_wurl"))
+    ).drop("_wts", "_wurl")

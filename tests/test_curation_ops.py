@@ -106,3 +106,45 @@ class TestHashSampling:
         df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, stratum string")
         out = stratified_sample_by_hash(df, "stratum", {"x": 1.0}, "k")
         assert [r["stratum"] for r in out.collect()] == ["x"]
+
+
+class TestUrlCanonicalization:
+    @pytest.mark.parametrize("raw,want", [
+        ("HTTP://WWW.Example.COM:80/A/b/", "https://example.com/A/b"),
+        ("https://example.com:443/x?q=1#frag", "https://example.com/x?q=1"),
+        ("https://example.com/", "https://example.com/"),  # root slash kept
+        ("https://sub.www-like.org/p", "https://sub.www-like.org/p"),
+        ("http://example.com", "https://example.com"),
+        ("not a url", "not a url"),  # passthrough, never null
+        ("https://example.com/a?b=2#x#y", "https://example.com/a?b=2"),
+    ])
+    def test_rules(self, spark, raw, want):
+        from deduplication_challenge_spark.operators.urlnorm import canonical_url
+
+        df = spark.createDataFrame([(raw,)], "url string")
+        assert df.select(canonical_url("url").alias("c")).first()["c"] == want
+
+    def test_dedup_by_url_first_seen_wins(self, spark):
+        import datetime as dt
+
+        from deduplication_challenge_spark.operators.urlnorm import dedup_by_url
+
+        rows = [
+            ("http://www.a.com/p/", dt.datetime(2025, 1, 2), None, "late", "en"),
+            ("https://a.com/p", dt.datetime(2025, 1, 1), None, "early", "en"),
+            ("https://b.com/q", dt.datetime(2025, 1, 1), None, "other", "en"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        out = {r["canonical_url"]: r for r in dedup_by_url(df).collect()}
+        assert len(out) == 2
+        assert out["https://a.com/p"]["text"] == "early"  # earliest crawl wins
+        assert out["https://b.com/q"]["text"] == "other"
+
+    def test_zero_shuffle_canonicalization(self, spark):
+        from deduplication_challenge_spark.operators.urlnorm import canonical_url
+
+        df = spark.createDataFrame([("https://x.com/a",)], "url string")
+        plan = df.select(canonical_url("url"))._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
