@@ -84,6 +84,14 @@ class DedupConfig:
     # --- consolidation ----------------------------------------------------
     min_group_size: int = 2            # singletons pass through untouched
                                        # (/root/reference/src/main.py:93-95)
+    # --- url dedup (optional pre-stage) -------------------------------------
+    url_dedup: bool = False            # when True, a 'urldedup' stage BEFORE
+                                       # ingest keeps the first-seen page per
+                                       # canonical url (operators/urlnorm.py)
+                                       # so repeat crawls never pay html
+                                       # extraction; off by default (the
+                                       # pinned parity protocols assume every
+                                       # input row reaches ingest)
     # --- sub-document dedup (optional pre-stage) ----------------------------
     line_dedup_min_docs: int | None = None  # when set (>= 2), a 'linededup'
                                        # stage after ingest removes lines

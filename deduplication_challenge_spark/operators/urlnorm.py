@@ -19,8 +19,24 @@ url (first-seen by (warc_ts, url) wins, deterministic).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def canonical_url_py(u: str) -> str:
+    """Pure-Python twin of :func:`canonical_url` (oracle + test mirror);
+    rule-for-rule identical, pinned by a parity test."""
+    if not u or not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", u):
+        return u
+    rest = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://", "", u)
+    host = re.match(r"^([^/?#]*)", rest).group(1).lower()
+    path = re.match(r"^[^/?#]*([^#]*)", rest).group(1)
+    host = re.sub(r"^www\.", "", host)
+    host = re.sub(r":(80|443)$", "", host)
+    path = re.sub(r"(.)/$", r"\1", path)
+    return "https://" + host + path
 
 
 def canonical_url(col: Column | str) -> Column:

@@ -148,6 +148,18 @@ def run_oracle(
 ) -> OracleResult:
     """pages: list of dicts (url, warc_ts, html, text, lang)."""
     res = OracleResult()
+    if cfg.url_dedup:
+        # mirror of operators/urlnorm.dedup_by_url: first-seen page per
+        # canonical url, earliest (warc_ts, url) wins
+        from deduplication_challenge_spark.operators.urlnorm import canonical_url_py
+
+        best: dict[str, tuple] = {}
+        for p in pages:
+            cu = canonical_url_py(p["url"])
+            key = (p["warc_ts"], p["url"])
+            if cu not in best or key < best[cu][0]:
+                best[cu] = (key, p)
+        pages = [v[1] for v in best.values()]
     rows = []
     for p in pages:
         text = extract_text(p["html"])

@@ -121,6 +121,13 @@ class IncrementalDedup:
         cluster that gained members plus brand-new clusters — the delta to
         upsert over the previous canonical table."""
         cfg = self.cfg
+        if cfg.url_dedup:
+            # unlike line dedup, url dedup is batch-local-safe: it is
+            # per-row canonicalization + within-input first-seen, and a url
+            # variant of an INDEXED page simply attaches via signatures
+            from deduplication_challenge_spark.operators.urlnorm import dedup_by_url
+
+            new_pages = dedup_by_url(new_pages).drop("canonical_url")
         docs_new = extract_pages(new_pages, recompute_text=recompute_text)
         docs_new = docs_new.localCheckpoint(eager=False)
         sigs_new = compute_signatures(docs_new, cfg).localCheckpoint(eager=False)

@@ -36,9 +36,12 @@ from deduplication_challenge_spark.operators.consolidate import attach_clusters,
 from deduplication_challenge_spark.operators.ingest import extract_pages
 from deduplication_challenge_spark.operators.signatures import compute_signatures
 
-STAGES = ["ingest", "linededup", "signatures", "candidates", "verify", "cc", "consolidate"]
-# 'linededup' runs only when cfg.line_dedup_min_docs is set; all other
-# stages are unconditional
+STAGES = [
+    "urldedup", "ingest", "linededup", "signatures",
+    "candidates", "verify", "cc", "consolidate",
+]
+# 'urldedup' runs only when cfg.url_dedup is True and 'linededup' only when
+# cfg.line_dedup_min_docs is set; all other stages are unconditional
 
 
 @dataclass
@@ -198,8 +201,23 @@ class DedupPipeline:
                 "doc_id_collisions": int(audit["u"]) - int(audit["d"]),
             }
 
+        fp = ""
+        if cfg.url_dedup:
+            # cheapest pre-stage: collapse trivially-equivalent urls BEFORE
+            # extraction so repeat crawls never pay the html->text pass
+            from deduplication_challenge_spark.operators.urlnorm import dedup_by_url
+
+            def urldedup_counters(df: DataFrame, rows: int) -> dict:
+                return {"pages_after_url_dedup": rows}
+
+            pages, fp = self._run_stage(
+                report, "urldedup", fp, input_desc,
+                lambda: dedup_by_url(pages).drop("canonical_url"),
+                urldedup_counters,
+            )
+
         docs, fp = self._run_stage(
-            report, "ingest", "", input_desc,
+            report, "ingest", fp, input_desc,
             lambda: extract_pages(pages, recompute_text=self.recompute_text),
             ingest_counters,
         )

@@ -256,3 +256,31 @@ def test_line_dedup_config_rejected_for_incremental(spark, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("inc_ld"))
     with pytest.raises(ValueError, match="full-run .compaction. stage"):
         IncrementalDedup(spark, replace(DedupConfig(), line_dedup_min_docs=2), wd)
+
+
+def test_url_dedup_applies_batch_locally(spark, micro_corpus, tmp_path_factory):
+    """cfg.url_dedup in incremental mode collapses url variants WITHIN the
+    batch (batch-local-safe, unlike line dedup); a variant of an indexed
+    url still attaches via signatures."""
+    import datetime as _dt
+    from dataclasses import replace
+
+    cfg = replace(DedupConfig(), url_dedup=True)
+    rows = micro_corpus.rows
+    idx_pages = spark.createDataFrame(
+        [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang")) for r in rows[:30]],
+        PAGES_DDL,
+    )
+    wd = str(tmp_path_factory.mktemp("inc_url"))
+    DedupPipeline(spark, cfg, wd, include_substring=False).run(idx_pages, "idx")
+    # batch: one new page + TWO url variants of it (same content)
+    p = rows[40]
+    batch = [
+        (p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]),
+        (p["url"].replace("https://", "HTTP://WWW.") + "/",
+         p["warc_ts"] + _dt.timedelta(hours=1), p["html"], p["text"], p["lang"]),
+    ]
+    new_pages = spark.createDataFrame(batch, PAGES_DDL)
+    _, assignments_new, _, rep = IncrementalDedup(spark, cfg, wd).run(new_pages)
+    assert rep["new_docs"] == 1  # variants collapsed before extraction
+    assert assignments_new.count() == 1

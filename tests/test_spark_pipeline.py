@@ -5,6 +5,7 @@ exact canonical records, dup-pair recall, resume semantics."""
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 from collections import defaultdict
 
@@ -258,3 +259,67 @@ class TestDegenerateInputs:
         out = canonical.collect()
         assert len(out) == 2
         assert all(r["text"] == "" for r in out)
+
+
+class TestUrlDedupStage:
+    """Optional cfg.url_dedup pre-stage: canonical-url variants collapse
+    BEFORE extraction; Spark==oracle under the same config; python twin
+    matches the Spark expression rule-for-rule."""
+
+    def test_parity_py_vs_spark(self, spark):
+        from deduplication_challenge_spark.operators.urlnorm import (
+            canonical_url,
+            canonical_url_py,
+        )
+
+        cases = [
+            "HTTP://WWW.Example.COM:80/A/b/",
+            "https://example.com:443/x?q=1#frag",
+            "https://example.com/",
+            "http://example.com",
+            "not a url",
+            "https://www.w.org/p/q/?a=1#z",
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], "url string")
+        got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+        assert got == [canonical_url_py(c) for c in cases]
+
+    def test_variants_collapse_and_oracle_agrees(self, spark, micro_corpus, tmp_path_factory):
+        from dataclasses import replace
+
+        from deduplication_challenge_spark.config import DedupConfig
+        from deduplication_challenge_spark.oracle import run_oracle
+
+        cfg = replace(DedupConfig(), url_dedup=True)
+        # plant url-variant re-crawls of the first 3 pages (later ts)
+        rows = list(micro_corpus.rows)
+        for p in micro_corpus.rows[:3]:
+            dup = dict(p)
+            dup["url"] = p["url"].replace("https://", "HTTP://WWW.") + "/"
+            dup["warc_ts"] = p["warc_ts"] + dt.timedelta(days=1)
+            rows.append(dup)
+        pages = spark.createDataFrame(
+            [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang")) for r in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        wd = str(tmp_path_factory.mktemp("pipe_url"))
+        canonical, report = DedupPipeline(
+            spark, cfg, wd, include_substring=True, substring_partitions=1
+        ).run(pages, input_desc="url-variants")
+        # the 3 variants are gone before ingest
+        assert report.counters["pages_after_url_dedup"] == len(micro_corpus.rows)
+        assert report.counters["docs_scanned"] == len(micro_corpus.rows)
+        # and the ORIGINAL (earliest) urls survived
+        urls = {u for r in canonical.collect() for u in r["member_urls"]}
+        assert all(not u.startswith("HTTP://WWW.") for u in urls)
+        # oracle under the same config produces identical assignments
+        oracle = run_oracle(rows, cfg, include_substring=True)
+        url_by_id = {xxhash64_str(r["url"]): r["url"] for r in rows}
+        oracle_assign = {url_by_id[d]: c for d, c in oracle.assignments.items()}
+        spark_assign = {
+            u: r["cluster_id"] for r in canonical.collect() for u in r["member_urls"]
+        }
+        assert spark_assign == oracle_assign
+
+    def test_off_by_default(self, pipeline_run):
+        assert "urldedup" not in pipeline_run["report"].stages

@@ -41,6 +41,11 @@ def main() -> None:
         ">= N distinct docs before signatures (CCNet boilerplate removal)",
     )
     ap.add_argument(
+        "--url-dedup", action="store_true",
+        help="enable the urldedup pre-stage: first-seen page per canonical "
+        "url, before extraction",
+    )
+    ap.add_argument(
         "--incremental-index", default=None, metavar="WORKDIR",
         help="attach this batch to an EXISTING index (a completed pipeline "
         "workdir) instead of running the full pipeline; prints the delta "
@@ -62,7 +67,8 @@ def main() -> None:
 
         inc = IncrementalDedup(
             spark,
-            replace(DedupConfig(), line_dedup_min_docs=args.line_dedup_min_docs),
+            replace(DedupConfig(), line_dedup_min_docs=args.line_dedup_min_docs,
+                    url_dedup=args.url_dedup),
             args.incremental_index,
         )
         updates, _assignments, _bridges, rep = inc.run(
@@ -75,7 +81,8 @@ def main() -> None:
         return
     pipe = DedupPipeline(
         spark,
-        replace(DedupConfig(), line_dedup_min_docs=args.line_dedup_min_docs),
+        replace(DedupConfig(), line_dedup_min_docs=args.line_dedup_min_docs,
+                url_dedup=args.url_dedup),
         args.workdir,
         include_substring=not args.no_substring,
         substring_partitions=args.substring_partitions,
