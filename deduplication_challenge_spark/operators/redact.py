@@ -40,7 +40,9 @@ def redact_pii(
     unknown = set(kinds) - set(PII_PATTERNS)
     if unknown:
         raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
-    out = docs
+    # null text normalizes to '' up front: regexp_extract_all(NULL) is NULL
+    # and size(NULL) is -1, which would silently skew count aggregations
+    out = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     redacted = F.col(text_col)
     for kind in kinds:
         pat, token = PII_PATTERNS[kind]

@@ -55,21 +55,36 @@ def canonical_url(col: Column | str) -> Column:
     ).otherwise(F.concat(F.lit("https://"), host, path))
 
 
+#: null warc_ts (e.g. a WARC record with an unparseable date) sorts as the
+#: EPOCH in the first-seen election — explicit so the ordering is total and
+#: the pure-Python oracle mirror can reproduce it exactly
+_NULL_TS = "1970-01-01 00:00:00"
+
+
 def dedup_by_url(pages: DataFrame) -> DataFrame:
     """First-seen page per canonical url: (all input columns +
     canonical_url), one row per canonical url, earliest (warc_ts, url)
-    wins — deterministic at any partitioning."""
-    with_canon = pages.withColumn("canonical_url", canonical_url("url"))
-    winner = with_canon.groupBy("canonical_url").agg(
-        F.min(F.struct("warc_ts", "url")).alias("w")
+    wins — deterministic at any partitioning.  Null timestamps sort as the
+    epoch and the winner re-join is null-safe, so rows with missing dates
+    (or even null urls) are deduped, never silently dropped."""
+    ts_key = F.coalesce("warc_ts", F.lit(_NULL_TS).cast("timestamp"))
+    with_canon = (
+        pages.withColumn("canonical_url", canonical_url("url"))
+        .withColumn("_tskey", ts_key)
+        # group/join key coalesced: a null url (hence null canonical) forms
+        # its own group instead of being dropped by the equi-join
+        .withColumn("_ckey", F.coalesce("canonical_url", F.lit("\x00null-url")))
+    )
+    winner = with_canon.groupBy("_ckey").agg(
+        F.min(F.struct(F.col("_tskey").alias("ts"), F.col("url").alias("url"))).alias("w")
     )
     return with_canon.join(
         winner.select(
-            "canonical_url",
-            F.col("w.warc_ts").alias("_wts"),
+            "_ckey",
+            F.col("w.ts").alias("_wts"),
             F.col("w.url").alias("_wurl"),
         ),
-        "canonical_url",
+        "_ckey",
     ).where(
-        (F.col("warc_ts") == F.col("_wts")) & (F.col("url") == F.col("_wurl"))
-    ).drop("_wts", "_wurl")
+        F.col("_tskey").eqNullSafe(F.col("_wts")) & F.col("url").eqNullSafe(F.col("_wurl"))
+    ).drop("_wts", "_wurl", "_tskey", "_ckey")

@@ -151,12 +151,15 @@ def run_oracle(
     if cfg.url_dedup:
         # mirror of operators/urlnorm.dedup_by_url: first-seen page per
         # canonical url, earliest (warc_ts, url) wins
+        import datetime as _dt
+
         from deduplication_challenge_spark.operators.urlnorm import canonical_url_py
 
+        _epoch = _dt.datetime(1970, 1, 1)  # mirror of urlnorm._NULL_TS
         best: dict[str, tuple] = {}
         for p in pages:
-            cu = canonical_url_py(p["url"])
-            key = (p["warc_ts"], p["url"])
+            cu = canonical_url_py(p["url"]) if p["url"] else "\x00null-url"
+            key = (p["warc_ts"] or _epoch, p["url"] or "")
             if cu not in best or key < best[cu][0]:
                 best[cu] = (key, p)
         pages = [v[1] for v in best.values()]

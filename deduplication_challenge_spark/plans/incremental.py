@@ -149,7 +149,10 @@ class IncrementalDedup:
             simhash_chunk_table(sigs_old, cfg),
             cfg.hamming_k,
         )
-        cross_ok = cross_lsh.unionByName(cross_sim).distinct()
+        # lazy checkpoint: cross_ok feeds the attach join AND two report
+        # counters — without it the band join + verify + simhash probe (the
+        # dominant cost at index scale) would re-execute per consumer
+        cross_ok = cross_lsh.unionByName(cross_sim).distinct().localCheckpoint(eager=False)
 
         # new-vs-new edges: the standard batch rules at batch scale
         nn_lsh, _ = lsh.candidate_pairs(bands_new, cfg)
@@ -184,10 +187,12 @@ class IncrementalDedup:
         per_comp = attach.groupBy("comp_id").agg(
             F.min("old_cluster").alias("attached_cluster"),
             F.countDistinct("old_cluster").alias("n_old_clusters"),
-            F.array_sort(F.slice(F.collect_set("old_cluster"), 1, 16)).alias(
+            # sort BEFORE capping: the 16 SMALLEST cluster ids, deterministic
+            # (and always containing attached_cluster = the minimum)
+            F.slice(F.array_sort(F.collect_set("old_cluster")), 1, 16).alias(
                 "bridged_clusters"
             ),
-        )
+        ).localCheckpoint(eager=False)  # feeds assignments + bridges + report
         bridges = per_comp.where(F.col("n_old_clusters") >= 2).select(
             "comp_id", "n_old_clusters", "bridged_clusters"
         )
@@ -238,21 +243,31 @@ class IncrementalDedup:
 
         Appends the batch's docs / signatures / assignments to the index
         stage tables (parquet append — on Iceberg this is a snapshot
-        append).  Re-crawled urls are NOT rewritten: the cross probe reads
-        both versions' signatures, which can only add recall, and the
-        consolidation layer is last-write-wins by doc_id.  The workdir
-        stops being a resumable DedupPipeline checkpoint once extended —
-        its stage manifests describe the ORIGINAL run — so the manifests
-        are deleted to make any later resume attempt rebuild loudly
-        instead of silently reusing stale fingerprints."""
+        append).  Re-crawled urls (doc_ids already present in the index)
+        are EXCLUDED from the append — first-write-wins for the index
+        itself, so a doc_id can never appear twice in the stage tables and
+        inflate later consolidation groups; the re-crawl still participated
+        in the attach that just ran (its delta consolidation was
+        last-write-wins).  The workdir stops being a resumable
+        DedupPipeline checkpoint once extended — its stage manifests
+        describe the ORIGINAL run — so the manifests are deleted to make
+        any later resume attempt rebuild loudly instead of silently
+        reusing stale fingerprints."""
         if not hasattr(self, "_last"):
             raise RuntimeError("extend_index() requires a completed run() first")
         docs_new, sigs_new, assignments_new = self._last
-        docs_new.write.mode("append").parquet(os.path.join(self.workdir, "ingest"))
-        sigs_new.write.mode("append").parquet(os.path.join(self.workdir, "signatures"))
-        assignments_new.select("doc_id", "cluster_id").write.mode("append").parquet(
-            os.path.join(self.workdir, "cc")
+        known = self._index("ingest").select("doc_id")
+        # EAGER checkpoint: fresh reads the very parquet dir the append below
+        # writes to — materialize the anti-join fully before touching it
+        fresh = docs_new.join(known, "doc_id", "left_anti").localCheckpoint()
+        fresh_ids = fresh.select("doc_id")
+        fresh.write.mode("append").parquet(os.path.join(self.workdir, "ingest"))
+        sigs_new.join(fresh_ids, "doc_id", "left_semi").write.mode("append").parquet(
+            os.path.join(self.workdir, "signatures")
         )
+        assignments_new.select("doc_id", "cluster_id").join(
+            fresh_ids, "doc_id", "left_semi"
+        ).write.mode("append").parquet(os.path.join(self.workdir, "cc"))
         for name in os.listdir(self.workdir):
             if name.endswith(".manifest.json"):
                 os.remove(os.path.join(self.workdir, name))

@@ -6,11 +6,17 @@ Both readers ENFORCE the pages schema (explicit schema, never inferSchema
 — schema inference reads the data twice and silently drifts between
 batches) and normalize the html column: JSON/CSV cannot carry raw bytes,
 so html rides as base64 text and is decoded with ``unbase64`` JVM-side.
-Missing columns fail loudly at read time, not three stages later.
+Schema-enforced reads null-fill fields that are absent from the file, so
+"missing column" cannot fail at plan time — instead a bounded driver-side
+probe inspects the first rows and raises when ``url`` never materializes
+(the signature of a structurally wrong file), before any pipeline stage
+runs on garbage.
 
-Scale notes: JSONL is line-splittable (parallel across and within files);
-CSV is splittable only without embedded newlines — ``multiLine`` stays
-False here for that reason, and quoted-newline exports belong in parquet.
+Scale notes: JSONL is line-splittable (parallel across and within files).
+CSV reads with ``multiLine=True`` because extracted text legitimately
+contains newlines (linededup's own paragraph separator) and a
+multiLine=False read would shear quoted records apart — the cost is that
+CSV files are NOT input-splittable; prefer JSONL or parquet at scale.
 Writers exist for tests and round-tripping small fixtures.
 """
 
@@ -34,6 +40,15 @@ def _finish(raw: DataFrame) -> DataFrame:
     missing = [n for n, _ in PAGES_FIELDS if n not in raw.columns]
     if missing:
         raise ValueError(f"pages source is missing columns: {missing}")
+    # bounded structural probe: a schema-enforced read of a file that lacks
+    # the url field yields ALL-null urls — catch that here, loudly, instead
+    # of deduping a corpus of nulls three stages later
+    head = raw.select("url").limit(20).collect()
+    if head and all(r["url"] is None for r in head):
+        raise ValueError(
+            "pages source probe: 'url' is null in every sampled row — wrong "
+            "schema, wrong format, or a producer that dropped the column"
+        )
     return raw.select(
         "url",
         "warc_ts",
@@ -49,9 +64,15 @@ def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_pages_csv(spark: SparkSession, path: str) -> DataFrame:
-    """CSV pages (header row) -> (url, warc_ts, html, text, lang)."""
+    """CSV pages (header row) -> (url, warc_ts, html, text, lang).
+    multiLine=True: extracted text contains newlines; correctness over
+    splittability (see module docstring)."""
     return _finish(
-        spark.read.schema(TEXT_SCHEMA).option("header", True).csv(path)
+        spark.read.schema(TEXT_SCHEMA)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
     )
 
 

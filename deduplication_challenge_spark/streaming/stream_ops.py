@@ -189,7 +189,11 @@ def stream_near_dup_tagged(
                 ]
             )
         state.update((first_url, first_ts))
-        state.setTimeoutTimestamp(max_ts + horizon_ms)
+        # anchor the timeout at max(newest event, current watermark): rows
+        # with null warc_ts contribute ts_ms=0, and epoch+horizon would sit
+        # BELOW an advanced watermark — Spark rejects that and fails the
+        # whole query
+        state.setTimeoutTimestamp(max(max_ts, state.getCurrentWatermarkMs()) + horizon_ms)
         yield from frames
 
     return (

@@ -148,3 +148,54 @@ class TestUrlCanonicalization:
         df = spark.createDataFrame([("https://x.com/a",)], "url string")
         plan = df.select(canonical_url("url"))._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestUrlDedupNullSafety:
+    def test_null_warc_ts_not_dropped(self, spark):
+        """Review finding: a group whose winner has null warc_ts must not
+        vanish through the non-null-safe re-join; null ts sorts as epoch."""
+        import datetime as dt
+
+        from deduplication_challenge_spark.operators.urlnorm import dedup_by_url
+
+        rows = [
+            ("https://a.com/only", None, None, "undated unique", "en"),
+            ("https://b.com/p", None, None, "undated dup", "en"),
+            ("http://www.b.com/p/", dt.datetime(2025, 1, 1), None, "dated dup", "en"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        out = {r["canonical_url"]: r for r in dedup_by_url(df).collect()}
+        assert len(out) == 2
+        assert out["https://a.com/only"]["text"] == "undated unique"  # survived
+        # null ts == epoch == earliest -> the undated crawl wins the pair
+        assert out["https://b.com/p"]["text"] == "undated dup"
+
+    def test_oracle_mirror_handles_null_ts(self):
+        from dataclasses import replace
+
+        from deduplication_challenge_spark.config import DedupConfig
+        from deduplication_challenge_spark.oracle import run_oracle
+
+        pages = [
+            {"url": "https://b.com/p", "warc_ts": None,
+             "html": b"<html><body><p>x y z</p></body></html>", "text": None, "lang": "en"},
+            {"url": "http://www.b.com/p/", "warc_ts": __import__("datetime").datetime(2025, 1, 1),
+             "html": b"<html><body><p>x y z</p></body></html>", "text": None, "lang": "en"},
+        ]
+        res = run_oracle(pages, replace(DedupConfig(), url_dedup=True), include_substring=False)
+        assert len(res.docs) == 1  # no TypeError, undated winner kept
+
+
+class TestRedactNullText:
+    def test_null_text_counts_zero_not_negative(self, spark):
+        from deduplication_challenge_spark.operators.redact import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a@b.org wrote")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+        assert out[1]["n_email"] == 0 and out[1]["n_ipv4"] == 0 and out[1]["n_phone"] == 0
+        assert out[1]["text"] == ""  # normalized, not null
+        assert out[2]["n_email"] == 1

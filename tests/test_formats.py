@@ -54,3 +54,28 @@ def test_missing_columns_fail_loudly(spark, tmp_path_factory):
 
     with pytest.raises(ValueError, match="missing columns"):
         _finish(spark.createDataFrame([("u",)], "url string"))
+
+
+def test_csv_embedded_newlines_roundtrip(spark, tmp_path_factory):
+    """Review finding: extracted text contains newlines (the engine's own
+    paragraph separator); the CSV path must not shear quoted records."""
+    rows = [("https://f/nl", dt.datetime(2025, 1, 3), None,
+             "para one\n\npara two\nline", "en")]
+    src = spark.createDataFrame(rows, DDL)
+    path = str(tmp_path_factory.mktemp("fmt_nl"))
+    write_pages_csv(src, path)
+    back = read_pages_csv(spark, path).collect()
+    assert len(back) == 1
+    assert back[0]["text"] == "para one\n\npara two\nline"
+
+
+def test_structurally_wrong_file_fails_loudly(spark, tmp_path_factory):
+    """A JSONL file without the url field null-fills under the enforced
+    schema; the bounded probe turns that into an error, not a null corpus."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("fmt_nourl"))
+    with open(os.path.join(path, "x.json"), "w") as f:
+        f.write('{"text": "no url field here", "lang": "en"}\n')
+    with pytest.raises(ValueError, match="probe"):
+        read_pages_jsonl(spark, path)

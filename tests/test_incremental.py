@@ -284,3 +284,34 @@ def test_url_dedup_applies_batch_locally(spark, micro_corpus, tmp_path_factory):
     _, assignments_new, _, rep = IncrementalDedup(spark, cfg, wd).run(new_pages)
     assert rep["new_docs"] == 1  # variants collapsed before extraction
     assert assignments_new.count() == 1
+
+
+def test_extend_index_never_duplicates_recrawled_doc_ids(spark, micro_corpus, tmp_path_factory):
+    """Review finding: a re-crawled url (same doc_id) appended by
+    extend_index would appear twice in the index tables and inflate later
+    consolidation groups — the append is first-write-wins instead."""
+    cfg = DedupConfig()
+    rows = micro_corpus.rows
+    idx_pages = spark.createDataFrame(
+        [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang")) for r in rows[:20]],
+        PAGES_DDL,
+    )
+    wd = str(tmp_path_factory.mktemp("inc_recrawl"))
+    DedupPipeline(spark, cfg, wd, include_substring=False).run(idx_pages, "idx")
+    # batch: ONE re-crawl of an indexed url + one genuinely new page
+    import datetime as _dt
+
+    p_old, p_new = rows[0], rows[30]
+    batch = [
+        (p_old["url"], p_old["warc_ts"] + _dt.timedelta(days=1),
+         p_old["html"], p_old["text"], p_old["lang"]),
+        tuple(p_new[c] for c in ("url", "warc_ts", "html", "text", "lang")),
+    ]
+    inc = IncrementalDedup(spark, cfg, wd)
+    inc.run(spark.createDataFrame(batch, PAGES_DDL))
+    inc.extend_index()
+    ingest = spark.read.parquet(wd + "/ingest")
+    assert ingest.count() == 21  # 20 originals + 1 new; re-crawl NOT re-added
+    assert ingest.groupBy("doc_id").count().where("count > 1").count() == 0
+    sigs = spark.read.parquet(wd + "/signatures")
+    assert sigs.groupBy("doc_id").count().where("count > 1").count() == 0

@@ -321,3 +321,35 @@ class TestRealVideoDecode:
         # compressed/unknown container -> opaque fallback, still featurized
         assert not out[3]["decoded"] and out[3]["media_format"] is None
         assert out[3]["ok"]
+
+
+class TestFormatRegistry:
+    def test_every_declared_codec_actually_decodes(self, spark):
+        """IMAGE_CODECS/AUDIO_CODECS/VIDEO_CODECS are the public capability
+        declaration — each listed format must really decode end-to-end."""
+        from deduplication_challenge_spark.functions.audiocodec import encode_wav
+        from deduplication_challenge_spark.functions.imagecodec import (
+            encode_bmp,
+            encode_png,
+        )
+        from deduplication_challenge_spark.functions.videocodec import encode_avi
+        from deduplication_challenge_spark.operators.multimodal import (
+            AUDIO_CODECS,
+            IMAGE_CODECS,
+            VIDEO_CODECS,
+            _decode_payload,
+        )
+
+        rng = np.random.Generator(np.random.PCG64(2))
+        img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        samples = [
+            ("png", encode_png(img)),
+            ("bmp", encode_bmp(img)),
+            ("wav", encode_wav(rng.integers(-99, 99, size=(50, 1)).astype(np.int16), 8000)),
+            ("avi", encode_avi(rng.integers(0, 256, size=(2, 4, 4, 3), dtype=np.uint8))),
+        ]
+        declared = set(IMAGE_CODECS) | set(AUDIO_CODECS) | set(VIDEO_CODECS)
+        assert declared == {fmt for fmt, _ in samples}
+        for fmt, payload in samples:
+            _, got_fmt, *_ = _decode_payload(payload)
+            assert got_fmt == fmt

@@ -209,3 +209,28 @@ class TestStreamNearDupTagged:
         sup = next(r for r in out.values() if r["suppressed"])
         first = next(r for r in out.values() if not r["suppressed"])
         assert sup["first_url"] == first["url"]
+
+
+class TestTaggedNullTimestamps:
+    def test_null_warc_ts_rows_flow_through(self, spark, tmp_path_factory):
+        """Null-date rows (the WARC reader's output for bad dates) must be
+        tagged, not crash the query via an epoch-anchored timeout."""
+        from deduplication_challenge_spark.streaming.stream_ops import (
+            stream_near_dup_tagged,
+        )
+
+        rows = [
+            ("https://z/1", None, None, "content alpha beta gamma delta " * 8, "en"),
+            ("https://z/2", TS, None, "totally different words here entirely " * 8, "en"),
+        ]
+        path = str(tmp_path_factory.mktemp("tagged_nullts"))
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        ckpt = str(tmp_path_factory.mktemp("ckpt_nullts"))
+        name = run_to_completion(
+            stream_near_dup_tagged(read_page_stream(spark, path), watermark="1 hour"), ckpt
+        )
+        out = spark.sql(f"SELECT * FROM {name}").collect()
+        assert len(out) == 2  # lossless, no crash
+        assert all(not r["suppressed"] for r in out)
