@@ -63,6 +63,9 @@ def consolidate_cluster_slim_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     (cluster_id, doc_id, url, warc_ts, lang, text_len) — shared with the
     pytest oracle, same bytes by construction."""
     pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    # null url would TypeError inside sorted(); normalize like lang below
+    # (the pipeline never ships null urls, direct callers may)
+    pdf = pdf.assign(url=pdf["url"].fillna(""))
     cluster_id = int(pdf["cluster_id"].iloc[0])
     # longest text, tie -> min doc_id (stable sort preserves doc_id order;
     # idxmax returns the FIRST occurrence of the max)
@@ -103,7 +106,10 @@ def consolidate_cluster_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         slim_in[["cluster_id", "doc_id", "url", "warc_ts", "lang", "text_len"]]
     )
     text_by_id = dict(zip(pdf["doc_id"], pdf["text"]))
-    out.insert(4, "text", out["winner_doc_id"].map(text_by_id))
+    # slim output still carries winner_doc_id at position 2, so index 5
+    # lands text AFTER warc_ts — matching CANONICAL_SCHEMA's column order
+    # once winner_doc_id is dropped
+    out.insert(5, "text", out["winner_doc_id"].map(text_by_id))
     return out.drop(columns=["winner_doc_id"])
 
 
@@ -117,6 +123,13 @@ def attach_clusters(docs: DataFrame, assignments: DataFrame) -> DataFrame:
 
 def consolidate(docs_with_cluster: DataFrame, min_group_size: int = 2) -> DataFrame:
     """(doc_id, url, warc_ts, text, lang, cluster_id) -> canonical table."""
+    # null policy pinned at entry, for BOTH paths: lang/url normalize to ''
+    # (the pipeline's ingest already does this; a direct caller shipping
+    # nulls would otherwise crash the singleton path's create_map with
+    # NULL_MAP_KEY and the kernel's sorted(url) with a TypeError)
+    docs_with_cluster = docs_with_cluster.withColumn(
+        "lang", F.coalesce("lang", F.lit(""))
+    ).withColumn("url", F.coalesce("url", F.lit("")))
     # Cluster sizing via aggregate + shuffle join on cluster_id: the join
     # reuses the same hash partitioning the applyInPandas groupBy needs, so
     # AQE collapses the exchanges; a window count would be equivalent but

@@ -101,7 +101,11 @@ def _with_frequencies(rows: DataFrame, freq_source: DataFrame) -> DataFrame:
     out = rows
     for field in MERGE_BY_MOST_FREQUENT + MERGE_BY_LEAST_FREQUENT:
         freqs = global_frequencies(freq_source, field).withColumnRenamed("value", field)
-        out = out.join(F.broadcast(freqs), field, "left")
+        # no forced broadcast: frequency-table cardinality approaches the
+        # full corpus for high-entropy fields (titles/names), and a forced
+        # hint bypasses autoBroadcastJoinThreshold — let Catalyst/AQE pick
+        # broadcast when the table is actually dim-sized
+        out = out.join(freqs, field, "left")
     return out
 
 
@@ -113,13 +117,16 @@ def _pystr_double(c: Column) -> Column:
     through decimal(38,17) — Spark's double->decimal cast uses the shortest
     decimal repr (BigDecimal.valueOf) — then strip trailing zeros.
 
-    Regime guard: outside |v| in [1e-16, 1e16) the decimal route would
-    corrupt silently (>=1e21 overflows decimal(38,17) -> NULL; <~1e-17
-    collapses to '0.0'), so those values fall back to the plain
-    double->string cast — Java scientific notation instead of Python's, but
-    VISIBLE rather than nulled/zeroed (goldens only pin the in-regime
-    range)."""
-    in_regime = (F.abs(c) < F.lit(1e16)) & ((F.abs(c) >= F.lit(1e-16)) | (c == F.lit(0.0)))
+    Regime guard: the faithful range is |v| in [1e-4, 1e16) — Python's own
+    str(float) switches to scientific notation BELOW 1e-4 ('5e-05'), which
+    the decimal route cannot reproduce ('0.00005'), and above it the
+    decimal route would corrupt silently (>=1e21 overflows decimal(38,17)
+    -> NULL; tiny values truncate at 17 fractional digits).  Out-of-regime
+    values fall back to the plain double->string cast — Java scientific
+    notation instead of Python's, but VISIBLE rather than nulled/zeroed or
+    subtly divergent (goldens + the randomized parity test pin the
+    in-regime range)."""
+    in_regime = (F.abs(c) < F.lit(1e16)) & ((F.abs(c) >= F.lit(1e-4)) | (c == F.lit(0.0)))
     s = c.cast("decimal(38,17)").cast("string")
     stripped = F.regexp_replace(s, r"0+$", "")
     pretty = F.when(
@@ -413,7 +420,13 @@ def consolidate_products(products: DataFrame) -> DataFrame:
     singleton / invalid-identifier rows pass through standardized
     (/root/reference/src/main.py:76-97)."""
     meta = attach_group_meta(products)
-    mergeable = _with_frequencies(meta.where(F.col("is_mergeable")), products)
+    # lazy checkpoint: mergeable feeds the scalar-election groupBy plus
+    # SIX interval aggs, color, energy and details (~10 consumers) — without
+    # it each subtree re-executes the group-size join and the five
+    # frequency joins from scratch
+    mergeable = _with_frequencies(
+        meta.where(F.col("is_mergeable")), products
+    ).localCheckpoint(eager=False)
     passthrough = meta.where(~F.col("is_mergeable"))
 
     # --- scalar elections + completing, one hash aggregate ---------------
@@ -484,7 +497,12 @@ def consolidate_products(products: DataFrame) -> DataFrame:
         _energy_agg(mergeable, IDENTIFIER).withColumnRenamed("_g", IDENTIFIER),
         IDENTIFIER, "left",
     )
-    merged = merged.join(_details_agg(mergeable), IDENTIFIER, "left")
+    merged = merged.join(_details_agg(mergeable), IDENTIFIER, "left").withColumn(
+        # a mergeable group whose detail-eligible fields are ALL null yields
+        # no fragment row; the reference still serializes details as '{}'
+        # on every row (main.py:21-66) — never null
+        "details", F.coalesce("details", F.lit("{}"))
+    )
 
     # --- passthrough rows: standardize nested fields PER ROW with
     # higher-order functions — zero exchanges (every "group" here is a

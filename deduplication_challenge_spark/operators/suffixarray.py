@@ -7,9 +7,12 @@ pure PySpark, so this is a **partition-local** pass (SURVEY.md §7.4.5): docs
 are hash-repartitioned, each partition builds one suffix array over its
 concatenated text via ``mapInPandas``, and pairs are found within the
 partition. Exact-duplicate and containment pairs planted in one partition
-are always found; cross-partition substring pairs are the documented
-approximation (they are still caught by the MinHash/SimHash paths when
-similarity is high). Tests force co-location via ``num_partitions=1``.
+are always found by the suffix-array kernel and, for shared runs of at
+least ``min_len + winnow_window - 1`` chars (the winnowing detection
+floor — 111 at the shipped defaults), by the rolling kernel;
+cross-partition substring pairs are the documented approximation (they
+are still caught by the MinHash/SimHash paths when similarity is high).
+Tests force co-location via ``num_partitions=1``.
 
 Algorithm per partition (all numpy, no per-char Python):
   1. concat texts with an out-of-alphabet separator, encode utf-32-le ->
@@ -362,7 +365,11 @@ def substring_pairs_global(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     schema = "doc_id long, anchor long" + (", win string" if with_window else "")
     key = ["anchor", "win"] if with_window else ["anchor"]
-    anchors = sel.mapInPandas(gen, schema=schema)
+    # lazy checkpoint: anchors feeds BOTH the mins aggregate and the join
+    # probe side — without it the corpus is re-hashed and re-winnowed twice
+    # (two MapInPandas nodes in the executed plan), doubling the dominant
+    # cost of the default-scope substring pass
+    anchors = sel.mapInPandas(gen, schema=schema).localCheckpoint(eager=False)
     mins = anchors.groupBy(*key).agg(
         F.min("doc_id").alias("src"), F.count("*").alias("_n")
     )
@@ -383,7 +390,11 @@ def substring_pairs(
     """docs(doc_id, text) -> star edges of substring-duplicate runs.
 
     impl='rolling' (default, bandwidth-lean) or 'suffix_array' (reference).
-    Both kernels produce identical pairs (tests assert equivalence)."""
+    The kernels produce identical pairs at winnow_window=0, where tests
+    assert equivalence; at the shipped window the rolling kernel samples
+    anchors (detection floor min_len + W - 1 shared chars) while the
+    suffix-array kernel ignores winnowing — same floor caveat as the
+    module docstring."""
     min_len = cfg.substr_min_len
     parts = num_partitions or cfg.substr_partitions
     kernel = (

@@ -105,3 +105,62 @@ class TestSparkConsolidate:
         assert single["details"] == kernel["details"]
         assert list(single["langs"]) == list(kernel["langs"])
         assert list(single["member_urls"]) == list(kernel["member_urls"])
+
+
+def test_null_lang_and_url_normalized_both_paths(spark):
+    """Review finding: a singleton with null lang crashed the passthrough's
+    create_map (NULL_MAP_KEY) and a null url crashed the kernel's sorted();
+    consolidate pins the null policy at entry — both paths emit '' like the
+    pipeline's own ingest coalesce."""
+    import datetime as dt
+
+    from deduplication_challenge_spark.operators.consolidate import (
+        attach_clusters,
+        consolidate,
+    )
+
+    rows = [
+        # singleton with null lang + null url
+        (1, None, dt.datetime(2025, 1, 1), "solo text", None, 1),
+        # two-member cluster with one null lang and one null url member
+        (2, "https://c/2", dt.datetime(2025, 1, 1), "pair text longer", None, 9),
+        (3, None, dt.datetime(2025, 1, 2), "pair", "en", 9),
+    ]
+    dc = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp, text string, lang string, cluster_id long"
+    )
+    out = {r["cluster_id"]: r for r in consolidate(dc).collect()}
+    assert out[1]["lang"] == "" and out[1]["details"] == '{"lang":{"":[""]}}'
+    assert out[9]["n_members"] == 2
+    assert "" in out[9]["member_urls"]  # null url normalized, not dropped
+
+
+def test_full_kernel_column_order_matches_schema(spark):
+    """Review finding: consolidate_cluster_pdf must emit columns in
+    CANONICAL_SCHEMA order so positional consumers don't map text into the
+    warc_ts slot."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from deduplication_challenge_spark.operators.consolidate import (
+        CANONICAL_SCHEMA,
+        consolidate_cluster_pdf,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "cluster_id": [5, 5],
+            "doc_id": [1, 2],
+            "url": ["https://k/1", "https://k/2"],
+            "warc_ts": [dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 2)],
+            "text": ["short", "the longer text wins"],
+            "lang": ["en", "en"],
+        }
+    )
+    out = consolidate_cluster_pdf(pdf)
+    declared = [f.split()[0] for f in CANONICAL_SCHEMA.split(", ")]
+    assert list(out.columns) == declared
+    # and createDataFrame by POSITION works (it would throw on a swap)
+    df = spark.createDataFrame(out, CANONICAL_SCHEMA)
+    assert df.first()["text"] == "the longer text wins"

@@ -208,12 +208,15 @@ def test_pystr_double_matches_python_str(spark):
 
 
 def test_pystr_double_out_of_regime_is_visible(spark):
-    """Outside |v| in [1e-16, 1e16) the decimal route would NULL (overflow)
-    or zero (underflow) the bound; the guard must fall back to the plain
-    double->string cast so the value stays visible (ADVICE r2)."""
+    """Outside |v| in [1e-4, 1e16) the decimal route diverges from
+    str(float) — Python itself goes scientific below 1e-4 ('5e-05' vs the
+    decimal route's '0.00005'), and large values NULL (overflow) or
+    truncate; the guard must fall back to the plain double->string cast so
+    the value stays visible and round-trips (ADVICE r2 + review r3)."""
     from deduplication_challenge_spark.operators.product_merge import _pystr_double
 
-    vals = [1e21, -1e21, 1e-17, -1e-17, 5e22, 1e300]
+    vals = [1e21, -1e21, 1e-17, -1e-17, 5e22, 1e300,
+            5e-05, -5e-05, 1e-10, 1.2345678901234567e-10]
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
     got = {r["i"]: r["s"] for r in df.select("i", _pystr_double(F.col("v")).alias("s")).collect()}
     for i, v in enumerate(vals):

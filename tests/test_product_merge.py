@@ -249,3 +249,26 @@ class TestProbes:
         got = {(r["product_identifier"], r["n_rows"])
                for r in identifier_group_sizes(df).collect()}
         assert got == {("CAS-1", 2)}
+
+
+class TestReviewRegressions:
+    def test_all_null_details_group_gets_empty_json(self, spark):
+        """Review finding: a mergeable group with no detail-eligible values
+        must get details='{}' (the reference initializes details on every
+        row), not NULL."""
+        from deduplication_challenge_spark.operators.product_merge import (
+            consolidate_products,
+        )
+        from deduplication_challenge_spark.sources.products import PRODUCTS_SCHEMA
+
+        base = {f.name: None for f in PRODUCTS_SCHEMA.fields}
+        rows = []
+        for i in (1, 2):
+            r = dict(base)
+            r["id"] = i
+            r["product_identifier"] = "GROUP-X"
+            rows.append(tuple(r[f.name] for f in PRODUCTS_SCHEMA.fields))
+        df = spark.createDataFrame(rows, PRODUCTS_SCHEMA)
+        out = consolidate_products(df).collect()
+        assert len(out) == 1
+        assert out[0]["details"] == "{}"
