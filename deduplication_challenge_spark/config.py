@@ -124,6 +124,16 @@ class DedupConfig:
             raise ValueError(
                 f"line_dedup_min_docs must be None or >= 2, got {self.line_dedup_min_docs}"
             )
+        # the 64-bit width is structural, not tunable: simhash64, the
+        # oracle's hamming_chunks, and the hot-group salt shift all assume
+        # 64 — a different value would silently break engine/oracle parity
+        if self.simhash_bits != 64:
+            raise ValueError(f"simhash_bits must be 64, got {self.simhash_bits}")
+        if self.simhash_bits % (self.hamming_k + 1) != 0:
+            raise ValueError(
+                f"simhash_bits ({self.simhash_bits}) must divide evenly into "
+                f"hamming_k+1 ({self.hamming_k + 1}) chunks"
+            )
 
     def config_hash(self) -> str:
         """Stable hash stamped into stage manifests for resume validation."""

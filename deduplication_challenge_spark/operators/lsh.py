@@ -55,15 +55,19 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, Data
         F.sum((F.col("bucket_size") > cfg.bucket_cap).cast("long")).alias("capped_buckets"),
     )
 
-    star_edges = (
-        bands.join(multi, ["band_idx", "band_hash"])
-        .where(F.col("doc_id") != F.col("root"))
-        .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
-        .distinct()
-    )
+    def star_from(bucket_keys: DataFrame) -> DataFrame:
+        """ONE definition of the star-edge rule (root = min doc per bucket)
+        so star mode and the all_pairs oversized-bucket fallback can never
+        silently diverge on e.g. the root tie-break."""
+        return (
+            bands.join(bucket_keys, ["band_idx", "band_hash"])
+            .where(F.col("doc_id") != F.col("root"))
+            .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+            .distinct()
+        )
 
     if cfg.pair_mode == "star":
-        return star_edges, stats
+        return star_from(multi), stats
 
     # all_pairs mode: full enumeration for buckets <= cap via self-join;
     # oversized buckets fall back to star edges (counted above).
@@ -77,11 +81,5 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, Data
         .select("src", "dst")
         .distinct()
     )
-    big = multi.where(F.col("bucket_size") > cfg.bucket_cap)
-    big_star = (
-        bands.join(big, ["band_idx", "band_hash"])
-        .where(F.col("doc_id") != F.col("root"))
-        .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
-        .distinct()
-    )
+    big_star = star_from(multi.where(F.col("bucket_size") > cfg.bucket_cap))
     return all_pairs.union(big_star).distinct(), stats

@@ -49,12 +49,17 @@ def cosine_topk_bruteforce(
     queries must be small (it is broadcast); embeddings side streams through
     codegen — one pass, no shuffle until the per-query top-k window.
     """
+    # norms PRE-computed per row (N + Q evaluations of the O(dim) HOF), not
+    # per joined pair (N*Q each) — the pair expression is then one dot and
+    # one division
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
-    joined = embeddings.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
-    sim = (_dot(F.col("embedding"), F.col("q_emb"))
-           / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))))
+    e = embeddings.withColumn("e_norm", _norm(F.col("embedding")))
+    joined = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    sim = _dot(F.col("embedding"), F.col("q_emb")) / (F.col("e_norm") * F.col("q_norm"))
     scored = joined.select(
         "query_id", "vec_id", F.round(sim, 6).alias("cosine")
     )
@@ -154,9 +159,12 @@ def cosine_near_dup_pairs_lsh(
         bk = bits.reshape(len(mat), n_tables, n_planes) @ weights  # (n, T)
         return pd.Series(list(bk))
 
+    # lazy checkpoint: b feeds BOTH sides of the candidate self-join —
+    # without it every embedding crosses the Arrow boundary and pays the
+    # (n, dim) @ (dim, T*P) matmul twice
     b = emb.select(
         "vec_id", F.posexplode(buckets_udf("embedding")).alias("tbl", "bucket")
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         b.select("tbl", "bucket", F.col("vec_id").alias("vec_id_a"))
         .join(b.select("tbl", "bucket", F.col("vec_id").alias("vec_id_b")), ["tbl", "bucket"])
@@ -185,7 +193,11 @@ def cosine_near_dup_pairs_lsh(
         cand.join(a, "vec_id_a")
         .join(b2, "vec_id_b")
         .withColumn("cosine", F.round(cos_udf("emb_a", "emb_b"), 6))
-        .where(F.col("cosine") >= threshold)
+        # zero-norm vectors co-bucket (all sign bits False) and divide 0/0
+        # to numpy NaN, which Spark orders ABOVE any threshold — the exact
+        # baseline's JVM division yields NULL and drops such pairs, so the
+        # NaN guard keeps the documented row-semantics parity
+        .where((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
         .select("vec_id_a", "vec_id_b", "cosine")
     )
 
@@ -200,17 +212,20 @@ def cosine_topk_lsh(
     """ANN top-k: candidates = same hyperplane bucket, exact cosine re-rank
     inside. Recall < 1 by construction (documented approximation); raise
     recall by lowering n_planes or multi-probing neighboring buckets."""
-    emb_b = hyperplane_buckets(embeddings, n_planes, seed)
+    # norms pre-computed per row, not per joined pair (see bruteforce)
+    emb_b = hyperplane_buckets(embeddings, n_planes, seed).withColumn(
+        "e_norm", _norm(F.col("embedding"))
+    )
     q_b = hyperplane_buckets(queries, n_planes, seed).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
         F.col("bucket"),
     )
     joined = emb_b.join(F.broadcast(q_b), "bucket").where(
         F.col("vec_id") != F.col("query_id")
     )
-    sim = (_dot(F.col("embedding"), F.col("q_emb"))
-           / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))))
+    sim = _dot(F.col("embedding"), F.col("q_emb")) / (F.col("e_norm") * F.col("q_norm"))
     scored = joined.select("query_id", "vec_id", F.round(sim, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

@@ -147,18 +147,36 @@ class DedupPipeline:
             )
             return df, fp
         t0 = time.monotonic()
+        # invalidate the OLD manifest before touching the data: a crash
+        # between the overwrite below and the new manifest write would
+        # otherwise leave stale-manifest + new-data, and a later run with
+        # the old config would silently reuse the wrong table
+        mp = self._manifest_path(stage)
+        if os.path.exists(mp):
+            os.remove(mp)
         df = build()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         rows = out.count()  # parquet metadata count — no full scan
         seconds = time.monotonic() - t0
         counters = counters_fn(out, rows) if counters_fn else {}
-        # per-partition lineage: file-level row counts from the parquet footers
-        files = [
-            {"file": os.path.basename(fi), "bytes": os.path.getsize(os.path.join(path, fi))}
-            for fi in sorted(os.listdir(path))
-            if fi.endswith(".parquet")
-        ]
+        # per-partition lineage: file-level ROW COUNTS from the parquet
+        # footers (pyarrow metadata read — no data scan) plus byte sizes,
+        # so a corrupt/short partition is localizable on resume
+        import pyarrow.parquet as pq
+
+        files = []
+        for fi in sorted(os.listdir(path)):
+            if not fi.endswith(".parquet"):
+                continue
+            full = os.path.join(path, fi)
+            files.append(
+                {
+                    "file": os.path.basename(fi),
+                    "bytes": os.path.getsize(full),
+                    "rows": pq.ParquetFile(full).metadata.num_rows,
+                }
+            )
         with open(self._manifest_path(stage), "w") as f:
             json.dump(
                 {
@@ -271,6 +289,9 @@ class DedupPipeline:
             bands = lsh.band_table(sigs)
             lsh_edges, _ = lsh.candidate_pairs(bands, cfg)
             sim_edges, _ = simhash.hamming_pairs(sigs, cfg)
+            # stats frames are re-derived in candidate_counters AFTER the
+            # stage materializes (from the persisted signatures table), so
+            # the write path never blocks on extra driver jobs
             lsh_tagged = lsh_edges.select("src", "dst", F.lit("lsh").alias("origin"))
             sim_tagged = sim_edges.select("src", "dst", F.lit("simhash").alias("origin"))
             parts = [lsh_tagged, sim_tagged]
@@ -293,7 +314,21 @@ class DedupPipeline:
                 f"pairs_{r['origin']}": r["n"]
                 for r in df.groupBy("origin").agg(F.count("*").alias("n")).collect()
             }
-            return {"pairs_candidates": rows, **per_origin}
+            # no-silent-caps contract: bucket-cap degradations (all_pairs
+            # mode) and simhash hot-group splits are pinned SEMANTIC events
+            # and must reach the manifest, not just the modules' return
+            # values.  Recomputed here from the already-persisted signatures
+            # table — one aggregate pass each, off the stage's write path.
+            _, lsh_stats = lsh.candidate_pairs(lsh.band_table(sigs), cfg)
+            _, sim_stats = simhash.hamming_pairs(sigs, cfg)
+            ls = lsh_stats.collect()[0].asDict()
+            ss = sim_stats.collect()[0].asDict()
+            return {
+                "pairs_candidates": rows,
+                **per_origin,
+                **{f"lsh_{k}": int(v or 0) for k, v in ls.items()},
+                **{f"simhash_{k}": int(v or 0) for k, v in ss.items()},
+            }
 
         candidates, fp = self._run_stage(
             report, "candidates", fp,

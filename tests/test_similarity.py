@@ -130,3 +130,25 @@ class TestBucketedNearDupPairs:
                ).collect()}
         assert got <= true
         assert len(got & true) / len(true) >= 0.9
+
+
+def test_zero_norm_vectors_never_pair_with_nan(spark):
+    """Review finding: two all-zero embeddings co-bucket in every table and
+    divide 0/0 -> NaN, which Spark orders above any threshold — the NaN
+    guard must drop them, matching the exact baseline's NULL semantics."""
+    from deduplication_challenge_spark.operators.similarity import (
+        cosine_near_dup_pairs_lsh,
+    )
+
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 0.01, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_near_dup_pairs_lsh(df, threshold=0.9)
+    pairs = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"] for r in out.collect()}
+    assert (1, 2) not in pairs  # zero-norm pair suppressed, not NaN-emitted
+    import math
+    assert all(not math.isnan(v) for v in pairs.values())

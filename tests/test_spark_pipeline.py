@@ -323,3 +323,51 @@ class TestUrlDedupStage:
 
     def test_off_by_default(self, pipeline_run):
         assert "urldedup" not in pipeline_run["report"].stages
+
+
+class TestManifestIntegrity:
+    def test_stale_manifest_invalidated_before_overwrite(self, spark, micro_corpus, tmp_path_factory):
+        """Review finding: a crash between the data overwrite and the new
+        manifest write must NOT leave a stale manifest that a later run
+        would trust — the old manifest is deleted before the data changes."""
+        import json
+        import os
+        from unittest.mock import patch
+
+        wd = str(tmp_path_factory.mktemp("atomic"))
+        pages, _ = corpus_to_spark(spark, micro_corpus)
+        pipe = DedupPipeline(spark, DedupConfig(), wd, include_substring=False)
+        pipe.run(pages, input_desc="v1")
+        # simulate a crash mid-rebuild: manifest write raises after the
+        # parquet overwrite (different input_desc forces every stage dirty)
+        with patch("json.dump", side_effect=OSError("disk full")):
+            with pytest.raises(OSError):
+                pipe.run(pages, input_desc="v2")
+        # the ingest manifest must not VALIDATE as the stale v1 record —
+        # either deleted (our pre-overwrite invalidation) or truncated by
+        # the crashed write (which _load_manifest treats as corrupt)
+        assert pipe._load_manifest("ingest") is None
+        # and a fresh run rebuilds cleanly end-to-end
+        canonical, report = pipe.run(pages, input_desc="v2")
+        assert canonical.count() > 0
+        assert not report.stages["ingest"].skipped
+
+    def test_manifest_partitions_carry_row_counts(self, pipeline_run):
+        """Per-partition lineage must include footer row counts (the claim
+        the north rule makes), summing to the stage row count."""
+        import json
+        import os
+
+        wd = pipeline_run["workdir"]
+        with open(os.path.join(wd, "ingest.manifest.json")) as f:
+            m = json.load(f)
+        assert m["partitions"], "no partition lineage recorded"
+        assert all("rows" in p and "bytes" in p for p in m["partitions"])
+        assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
+
+    def test_candidate_manifest_has_no_silent_caps_counters(self, pipeline_run):
+        """lsh bucket stats and simhash hot-group stats must reach the
+        manifest (the modules' no-silent-caps contract)."""
+        counters = pipeline_run["report"].counters
+        assert "lsh_buckets" in counters and "lsh_capped_buckets" in counters
+        assert "simhash_hot_keys" in counters and "simhash_chunk_rows" in counters
