@@ -88,7 +88,7 @@ def _word3grams(d: DataFrame) -> DataFrame:
     """Distinct (doc_id, gram) rows of word-3-grams over lowered text."""
     toks = d.select(
         "doc_id",
-        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"),
+        F.filter(F.split(F.lower("text"), r"[ \t\n\x0B\f\r]+"), lambda x: x != "").alias("toks"),
     ).where(F.size("toks") >= 3)
     return toks.select(
         "doc_id",
@@ -218,7 +218,7 @@ def q_consistent_fields_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats per doc."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.col("text"), r"[ \t\n\x0B\f\r]+"), lambda x: x != "")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -305,7 +305,7 @@ def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole query is scan -> project with ZERO shuffles and stays inside
     whole-stage codegen."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower("text"), r"[ \t\n\x0B\f\r]+"), lambda x: x != "")
     d = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 2)
     grams = F.transform(
         F.sequence(F.lit(0), F.size("t") - 2),
@@ -356,7 +356,7 @@ def q_boilerplate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi tag (no shuffle of the occurrences), and the final per-source
     rollup shuffles only |sources| rows after partial aggregation."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower("text"), r"[ \t\n\x0B\f\r]+"), lambda x: x != "")
     d = d.select("doc_id", "source", toks.alias("t")).where(F.size("t") >= 3)
     grams = F.transform(
         F.sequence(F.lit(0), F.size("t") - 3),
@@ -400,7 +400,7 @@ def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linededup import dedup_lines
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower("text"), r"[ \t\n\x0B\f\r]+"), lambda x: x != "")
     d = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 1)
     chunks = F.transform(
         F.sequence(F.lit(0), F.ceil(F.size("t") / F.lit(8.0)).cast("int") - 1),
@@ -496,7 +496,7 @@ def q_sequence_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import pack_sequences
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.col("text"), r"[ \t\n\x0B\f\r]+"), lambda x: x != "")
     d = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
     return pack_sequences(d, budget=512, n_buckets=16)
 
@@ -579,14 +579,26 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") < EXACT_PAIRS_MAX_ID)
         .select("vec_id", "embedding")
     )
-    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
-    sim = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    # norms pre-computed per row (N evaluations), not per pair (N^2/2 x 2)
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("emb_a"),
+        _norm(F.col("embedding")).alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("emb_b"),
+        _norm(F.col("embedding")).alias("norm_b"),
+    )
+    sim = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         a.crossJoin(b)
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
         .withColumn("cosine", F.round(sim, 6))
-        .where(F.col("cosine") >= 0.35)
+        # zero-norm rows: Spark's non-ANSI 0/0 yields NULL (fails >=) while
+        # DuckDB yields NaN which compares ABOVE the threshold — both sides
+        # guard explicitly so the semantics are pinned, not incidental
+        .where((F.col("cosine") >= 0.35) & F.col("cosine").isNotNull() & ~F.isnan("cosine"))
         .select("vec_id_a", "vec_id_b", "cosine")
     )
 
@@ -932,7 +944,7 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
             FROM documents
         ), grams AS (
             SELECT DISTINCT doc_id,
@@ -961,7 +973,7 @@ ORACLE_SQL = {
     "ngram_df_cap_stats": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
             FROM documents
         ), grams AS (
             SELECT DISTINCT doc_id,
@@ -1006,7 +1018,7 @@ ORACLE_SQL = {
     """,
     "token_stats": """
         SELECT doc_id,
-               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+               len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS n_tokens,
                length(text) AS n_chars_actual,
                length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit_chars
         FROM documents
@@ -1057,7 +1069,7 @@ ORACLE_SQL = {
     "doc_repetition_signals": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
             FROM documents
         ), base AS (
             SELECT doc_id, t, len(t) AS n_words, len(list_distinct(t)) AS n_distinct_words
@@ -1086,7 +1098,7 @@ ORACLE_SQL = {
     "boilerplate_rate_by_source": """
         WITH toks AS (
             SELECT doc_id, source,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
             FROM documents
         ), occ AS (
             SELECT doc_id, source,
@@ -1109,7 +1121,7 @@ ORACLE_SQL = {
     "paragraph_dedup_docs": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
             FROM documents
         ), base AS (
             SELECT doc_id, t FROM toks WHERE len(t) >= 1
@@ -1147,7 +1159,7 @@ ORACLE_SQL = {
     "contamination_flags": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
             FROM documents
         ), g AS (
             SELECT DISTINCT doc_id,
@@ -1261,6 +1273,15 @@ ORACLE_SQL = {
                  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
                6) >= 0.35
+          -- zero-norm guard: DuckDB's 0/0 is NaN and NaN compares ABOVE the
+          -- threshold; Spark's non-ANSI division yields NULL and drops —
+          -- pin the drop on both sides
+          AND NOT isnan(round(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6))
     """,
     "label_centroid_dims": """
         SELECT label, count(*) AS n_vecs,
@@ -1439,18 +1460,22 @@ ORACLE_SQL = {
             FROM pentries GROUP BY gkey, key_str
         ),
         sentries AS (
-            SELECT gkey,
+            SELECT gkey, id,
                    e.dimension || '|' || e.unit AS key_str,
                    e.value AS v, TRY_CAST(e.value AS DOUBLE) AS num
-            FROM (SELECT gkey, unnest(size) AS e FROM unitized)
+            FROM (SELECT gkey, id, unnest(size) AS e FROM unitized)
             WHERE e.value IS NOT NULL
         ),
         sagg AS (
+            -- literal fallback elects the LAST-written literal = max by id
+            -- (the engine's (id, pos) LWW; this fixture's size arrays are
+            -- single-element so pos never disambiguates), NOT the
+            -- lexicographic max of the strings
             SELECT gkey, 'size' AS field, key_str,
                    CASE WHEN count(num) > 0 THEN CAST(min(num) AS VARCHAR)
-                        ELSE max(CASE WHEN num IS NULL THEN v END) END AS min_val,
+                        ELSE arg_max(v, id) FILTER (WHERE num IS NULL) END AS min_val,
                    CASE WHEN count(num) > 0 THEN CAST(max(num) AS VARCHAR)
-                        ELSE max(CASE WHEN num IS NULL THEN v END) END AS max_val
+                        ELSE arg_max(v, id) FILTER (WHERE num IS NULL) END AS max_val
             FROM sentries GROUP BY gkey, key_str
         ),
         unioned AS (SELECT * FROM pagg UNION ALL SELECT * FROM sagg)

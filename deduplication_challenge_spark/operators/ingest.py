@@ -46,13 +46,16 @@ def extract_pages(pages: DataFrame, *, recompute_text: bool = True) -> DataFrame
         if recompute_text
         else F.col("text")
     )
-    # null policy (pinned): text and lang normalize to '' — downstream map
-    # keys (details provenance) and shingle kernels require non-null values,
-    # matching the reference's empty-vs-null canonicalization
+    # null policy (pinned): text, lang AND url normalize to '' — downstream
+    # map keys (details provenance) and shingle kernels require non-null
+    # values, doc_id must never be null (xxhash64(NULL) is NULL, which
+    # would break every doc_id join), and the oracle mirrors the same rule.
+    # Matches the reference's empty-vs-null canonicalization
     # (/root/reference/src/controller.py:52-58).
+    url = F.coalesce(F.col("url"), F.lit(""))
     return pages.select(
-        F.xxhash64(F.col("url")).alias("doc_id"),
-        F.col("url"),
+        F.xxhash64(url).alias("doc_id"),
+        url.alias("url"),
         F.col("warc_ts"),
         F.coalesce(text_col, F.lit("")).alias("text"),
         F.coalesce(F.col("lang"), F.lit("")).alias("lang"),

@@ -35,7 +35,15 @@ _EMPTY_I64 = np.empty(0, dtype=np.int64)
 def doc_signatures_pdf(
     pdf: pd.DataFrame, cfg: DedupConfig, a: np.ndarray, b: np.ndarray
 ) -> pd.DataFrame:
-    """Signature computation for one Arrow batch (shared with the oracle)."""
+    """Signature computation for one Arrow batch.
+
+    The oracle does NOT call this function — it re-implements the loop
+    inline over the SAME functions/hashing.py kernels (the per-doc dict
+    shape it needs differs from this columnar batch shape).  Parity between
+    the two loops is therefore pinned BEHAVIORALLY by the
+    pipeline-vs-oracle equality tests, not structurally; edits to the
+    signature recipe must land in both places (oracle.py run_oracle) or
+    those tests fail."""
     n = len(pdf)
     out = {
         "doc_id": pdf["doc_id"].to_numpy(),

@@ -156,20 +156,32 @@ def run_oracle(
         from deduplication_challenge_spark.operators.urlnorm import canonical_url_py
 
         _epoch = _dt.datetime(1970, 1, 1)  # mirror of urlnorm._NULL_TS
+
+        def _key(p: dict):
+            return (p["warc_ts"] or _epoch, p["url"] or "")
+
+        def _canon(p: dict) -> str:
+            return canonical_url_py(p["url"]) if p["url"] else "\x00null-url"
+
+        # two passes: elect the min key per group, then keep EVERY row tying
+        # on it — dedup_by_url's equi-filter keeps all exact (ts, url) ties
+        # (re-crawls of one url at one instant; exact dedup collapses
+        # identical content downstream), so the mirror must too
         best: dict[str, tuple] = {}
         for p in pages:
-            cu = canonical_url_py(p["url"]) if p["url"] else "\x00null-url"
-            key = (p["warc_ts"] or _epoch, p["url"] or "")
-            if cu not in best or key < best[cu][0]:
-                best[cu] = (key, p)
-        pages = [v[1] for v in best.values()]
+            k = _key(p)
+            if _canon(p) not in best or k < best[_canon(p)]:
+                best[_canon(p)] = k
+        pages = [p for p in pages if _key(p) == best[_canon(p)]]
     rows = []
     for p in pages:
         text = extract_text(p["html"])
         rows.append(
             {
-                "doc_id": xxhash64_str(p["url"]),
-                "url": p["url"],
+                # null url normalizes to '' BEFORE hashing — the pinned
+                # ingest policy (doc_id must never be null)
+                "doc_id": xxhash64_str(p["url"] or ""),
+                "url": p["url"] or "",
                 "warc_ts": p["warc_ts"],
                 "text": text,
                 "lang": p["lang"] or "",  # null policy pinned in operators/ingest.py
@@ -189,8 +201,15 @@ def run_oracle(
         for r, lines in zip(rows, split_lines):
             r["text"] = "\n\n".join(ln for ln in lines if ln not in hot)
 
-    docs = pd.DataFrame(rows)
+    # empty input: a column-less pd.DataFrame([]) would KeyError downstream;
+    # pin the empty result explicitly (mirrors the pipeline's empty-table
+    # behavior tested in tests/test_spark_pipeline.py TestDegenerateInputs)
+    _cols = ["doc_id", "url", "warc_ts", "text", "lang"]
+    docs = pd.DataFrame(rows, columns=_cols) if not rows else pd.DataFrame(rows)
     res.docs = docs
+    if not rows:
+        res.canonical = pd.DataFrame()
+        return res
     a, b = H.minhash_params(cfg.num_perm, cfg.seed, cfg.minhash_prime)
 
     buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
@@ -246,8 +265,9 @@ def run_oracle(
         for j in range(1, len(members)):
             for i in range(max(0, j - cfg.simhash_window), j):
                 if H.hamming_distance(members[i][0], members[j][0]) <= cfg.hamming_k:
-                    a, b = members[i][1], members[j][1]
-                    res.simhash_edges.add((min(a, b), max(a, b)))
+                    # NOT a/b: those are the live MinHash permutation params
+                    d1, d2 = members[i][1], members[j][1]
+                    res.simhash_edges.add((min(d1, d2), max(d1, d2)))
 
     # substring pass: GLOBAL here (tests force Spark co-location to match);
     # same pinned kernel + winnow/verify knobs as operators/suffixarray.py

@@ -103,7 +103,16 @@ def generate_corpus(
     """Build the corpus. ~``dup_fraction`` of docs belong to planted
     duplicate groups (exact / near / substring, round-robin); the rest are
     singletons. ``boilerplate_fraction`` of ALL docs additionally share one
-    boilerplate paragraph (hot LSH bucket)."""
+    boilerplate paragraph (hot LSH bucket).
+
+    NOTE (pinned behavior): the boilerplate draw is per MEMBER, so members
+    of a planted exact/near group may differ by the boilerplate paragraph —
+    "exact" groups are exact up to boilerplate.  Planted-recall gates
+    therefore verify the LSH+SimHash+substring paths JOINTLY (a
+    boilerplate-divergent small doc can fall below the Jaccard threshold
+    and be recovered by the substring pass); this is deliberate — it is
+    also what real crawl data looks like — and the corpus recipe cannot
+    change without invalidating every pinned canonical count."""
     rng = np.random.Generator(np.random.PCG64(seed))
     vocab = _build_vocab(rng, 4000)
     corpus = SynthCorpus()

@@ -74,3 +74,26 @@ def test_every_query_runs(spark):
         df = fn(spark, SF_DIR)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_tokenizer_class_parity_on_vertical_tab(spark, tmp_path_factory):
+    """Review finding: Java's \\s includes \\x0B but RE2's does not — the
+    tokenizing queries use an explicit class on BOTH sides so a text
+    containing a vertical tab still token-splits identically."""
+    import duckdb as _duck
+    import os
+
+    d = str(tmp_path_factory.mktemp("vtab"))
+    spark.createDataFrame(
+        [(0, "alpha\x0bbeta gamma", "en", "s0", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    q = entry_mod.queries()["token_stats"]
+    got = q(spark, d).first()
+    assert got["n_tokens"] == 3  # vertical tab splits
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(entry_mod.oracle_sql()["token_stats"]).fetchone()
+    assert got["n_tokens"] == want[1]  # (doc_id, n_tokens, ...) parity
