@@ -45,7 +45,11 @@ def probe_wav(data: bytes) -> tuple[int, int, int, int] | None:
     for cid, body in _chunks(data):
         if cid == b"fmt " and len(body) >= 16:
             tag, channels, rate, _brate, block, bits = struct.unpack("<HHIIHH", body[:16])
-            if tag != 1 or bits not in (8, 16) or channels < 1 or rate < 1:
+            # rate is uint32 on the wire but consumers store it in int32
+            # columns — a rate >= 2^31 would wrap negative (or raise under
+            # numpy 2.x, killing the whole Arrow batch); no real audio
+            # exceeds it, so reject as malformed
+            if tag != 1 or bits not in (8, 16) or channels < 1 or not (1 <= rate < 2**31):
                 return None
             if block != channels * (bits // 8):
                 return None

@@ -132,9 +132,17 @@ def decode_png(data: bytes) -> np.ndarray:
             idat.extend(body)
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # BOUNDED decompression: an unbounded zlib.decompress would let a tiny
+    # crafted payload (zlib bomb) materialize gigabytes before the size
+    # check and OOM-kill the executor — cap at expected+1 and reject
+    # overlong streams as malformed (the opaque-bytes fallback path)
+    d = zlib.decompressobj()
+    raw = np.frombuffer(d.decompress(bytes(idat), expected + 1), dtype=np.uint8)
+    if len(raw) != expected or (
+        d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1)
+    ):
         raise ValueError("scanline size mismatch")
     raw = raw.reshape(height, stride + 1)
     out = np.zeros((height, stride), dtype=np.uint8)

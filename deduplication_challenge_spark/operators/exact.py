@@ -14,15 +14,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def exact_dup_groups(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, text) -> (text_hash, group_size, canonical_doc_id).
+def _hashed(docs: DataFrame) -> DataFrame:
+    """THE exact-duplicate key rule, in one place: sha2 over raw text,
+    empty/whitespace-only rows excluded (analog of the reference's skip of
+    empty identifiers, /root/reference/src/main.py:85-89).  Shared by
+    groups and edges so the rule can never drift between them."""
+    return docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        F.sha2(F.col("text"), 256).alias("text_hash"), "doc_id"
+    )
 
-    Empty/whitespace-only text never groups (analog of the reference's
-    skip of empty identifiers, /root/reference/src/main.py:85-89).
-    """
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) -> (text_hash, group_size, canonical_doc_id)."""
     return (
-        docs.where(F.length(F.trim(F.col("text"))) > 0)
-        .select(F.sha2(F.col("text"), 256).alias("text_hash"), "doc_id")
+        _hashed(docs)
         .groupBy("text_hash")
         .agg(
             F.count("*").alias("group_size"),
@@ -57,9 +62,7 @@ def exact_dup_edges(docs: DataFrame) -> DataFrame:
     """Star edges (group-min doc_id -> member) per exact-dup group; same
     linear-output shape as operators/lsh.py so boilerplate-heavy exact
     groups can never blow up quadratically."""
-    hashed = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
-        F.sha2(F.col("text"), 256).alias("text_hash"), "doc_id"
-    )
+    hashed = _hashed(docs)
     mins = hashed.groupBy("text_hash").agg(
         F.min("doc_id").alias("src"), F.count("*").alias("group_size")
     )

@@ -116,13 +116,18 @@ def _decode_payload(payload: bytes) -> tuple[np.ndarray, str | None, int, int, i
     return np.frombuffer(payload, dtype=np.uint8), None, 0, 0, 0, 0
 
 
-def _feature_vector(arr: np.ndarray, dim: int = 16) -> np.ndarray:
+def _feature_vector(arr: np.ndarray, dim: int = 16, counts: np.ndarray | None = None) -> np.ndarray:
     """Deterministic feature extraction over the decoded stream: a
     normalized 16-bin histogram — a real numpy computation standing in for
-    an embedding model, with the exact output contract (fixed-width float32)."""
+    an embedding model, with the exact output contract (fixed-width
+    float32).  Pass the 256-bin ``counts`` (already computed for entropy)
+    to derive the histogram without a second O(n) scan of the stream."""
     if arr.size == 0:
         return np.zeros(dim, dtype=np.float32)
-    hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    if counts is not None and 256 % dim == 0:
+        hist = counts.reshape(dim, 256 // dim).sum(axis=1)
+    else:
+        hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
     return (hist / arr.size).astype(np.float32)
 
 
@@ -159,11 +164,14 @@ def decode_and_featurize(assets: DataFrame, feature_dim: int = 16) -> DataFrame:
                 out["height"][i] = h
                 out["sample_rate"][i] = rate
                 out["n_frames"][i] = frames
+                counts = None
                 if arr.size:
+                    # ONE scan of the decoded stream: entropy and the
+                    # feature histogram both derive from this bincount
                     counts = np.bincount(arr, minlength=256)
                     p = counts[counts > 0] / arr.size
                     out["byte_entropy"][i] = float(-(p * np.log2(p)).sum())
-                out["features"][i] = _feature_vector(arr, feature_dim)
+                out["features"][i] = _feature_vector(arr, feature_dim, counts)
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "kind", "payload").mapInPandas(

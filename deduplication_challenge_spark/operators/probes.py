@@ -13,12 +13,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def same_url_groups(df: DataFrame, url_col: str = "page_url") -> DataFrame:
+def same_url_groups(
+    df: DataFrame, url_col: str = "page_url", id_col: str = "id"
+) -> DataFrame:
     """'Same url contains > 1 product?' (helper.py:105-111): urls that occur
-    on more than one row, with their row count and min id."""
+    on more than one row, with their row count and min id.  Null/empty urls
+    never group (the reference's pandas groupby drops NaN keys; N missing
+    urls are N missing urls, not one N-row 'duplicate')."""
     return (
-        df.groupBy(url_col)
-        .agg(F.count("*").alias("n_rows"), F.min("id").alias("min_id"))
+        df.where(F.col(url_col).isNotNull() & (F.col(url_col) != ""))
+        .groupBy(url_col)
+        .agg(F.count("*").alias("n_rows"), F.min(id_col).alias("min_id"))
         .where(F.col("n_rows") >= 2)
     )
 

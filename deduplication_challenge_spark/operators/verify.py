@@ -42,13 +42,30 @@ def verify_pairs(
     sigs = signatures.select("doc_id", "minhash")
     s1 = sigs.withColumnRenamed("doc_id", "src").withColumnRenamed("minhash", "sig_src")
     s2 = sigs.withColumnRenamed("doc_id", "dst").withColumnRenamed("minhash", "sig_dst")
+    # LOUD length guard: mismatched signature widths (e.g. an incremental
+    # index built at a different num_perm than the current config) would
+    # otherwise null-pad through zip_with, null out jaccard_est, and drop
+    # EVERY pair silently — total recall loss with zero errors
+    width_ok = (F.size("sig_src") == F.lit(cfg.num_perm)) & (
+        F.size("sig_dst") == F.lit(cfg.num_perm)
+    )
+    # the guard lives INSIDE the consumed expression — a standalone check
+    # column would be pruned away by Catalyst as unused
+    guarded = F.when(
+        width_ok, estimate_jaccard_col(F.col("sig_src"), F.col("sig_dst"), cfg.num_perm)
+    ).otherwise(
+        F.assert_true(
+            width_ok,
+            F.lit(
+                f"signature width != num_perm ({cfg.num_perm}) — was the "
+                "index built with a different config?"
+            ),
+        ).cast("double")
+    )
     return (
         pairs.join(s1, "src")
         .join(s2, "dst")
-        .withColumn(
-            "jaccard_est",
-            estimate_jaccard_col(F.col("sig_src"), F.col("sig_dst"), cfg.num_perm),
-        )
+        .withColumn("jaccard_est", guarded)
         .where(F.col("jaccard_est") >= cfg.jaccard_threshold)
         .select("src", "dst", "jaccard_est")
     )

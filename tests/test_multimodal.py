@@ -353,3 +353,52 @@ class TestFormatRegistry:
         for fmt, payload in samples:
             _, got_fmt, *_ = _decode_payload(payload)
             assert got_fmt == fmt
+
+
+class TestHardeningRegressions:
+    def test_png_zlib_bomb_rejected_not_materialized(self):
+        """A tiny crafted PNG whose IDAT expands to ~100 MB must be rejected
+        by the bounded decompressor, not materialized (executor-OOM vector)."""
+        import struct
+        import zlib
+
+        from deduplication_challenge_spark.functions.imagecodec import decode_png
+
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body)))
+
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # says 4x4 RGB
+        bomb = zlib.compress(b"\x00" * 100_000_000)  # ~100 KB on the wire
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="scanline size mismatch"):
+            decode_png(png)
+        # and through the decode path it degrades to opaque bytes
+        from deduplication_challenge_spark.operators.multimodal import _decode_payload
+
+        arr, fmt, *_ = _decode_payload(png)
+        assert fmt is None and arr.size == len(png)
+
+    def test_wav_absurd_sample_rate_rejected(self):
+        """rate >= 2^31 would wrap negative in the int32 sample_rate column
+        (or abort the batch under numpy 2.x) — probe rejects it."""
+        import struct
+
+        from deduplication_challenge_spark.functions.audiocodec import probe_wav
+
+        fmt = struct.pack("<HHIIHH", 1, 1, 0xFFFFFFFF, 0, 1, 8)
+        data = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04")
+        assert probe_wav(data) is None
+
+    def test_feature_vector_counts_path_matches_histogram(self):
+        from deduplication_challenge_spark.operators.multimodal import _feature_vector
+
+        rng = np.random.Generator(np.random.PCG64(7))
+        arr = rng.integers(0, 256, size=5000, dtype=np.uint8)
+        counts = np.bincount(arr, minlength=256)
+        assert np.array_equal(
+            _feature_vector(arr, 16, counts), _feature_vector(arr, 16, None)
+        )

@@ -272,3 +272,23 @@ class TestReviewRegressions:
         out = consolidate_products(df).collect()
         assert len(out) == 1
         assert out[0]["details"] == "{}"
+
+
+class TestProbeNullUrls:
+    def test_same_url_groups_ignores_null_and_empty(self, spark):
+        """Review finding: N missing urls are N missing urls, not one N-row
+        'duplicate group' (the reference's pandas groupby drops NaN keys)."""
+        from deduplication_challenge_spark.operators.probes import same_url_groups
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, ""), (4, ""), (5, "https://p/x"), (6, "https://p/x")],
+            "id long, page_url string",
+        )
+        out = same_url_groups(df).collect()
+        assert len(out) == 1 and out[0]["page_url"] == "https://p/x"
+        # and the id column is parameterized (works on doc_id tables)
+        df2 = spark.createDataFrame(
+            [(1, "https://p/y"), (2, "https://p/y")], "doc_id long, url string"
+        )
+        out2 = same_url_groups(df2, url_col="url", id_col="doc_id").collect()
+        assert out2[0]["min_id"] == 1

@@ -371,3 +371,22 @@ class TestManifestIntegrity:
         counters = pipeline_run["report"].counters
         assert "lsh_buckets" in counters and "lsh_capped_buckets" in counters
         assert "simhash_hot_keys" in counters and "simhash_chunk_rows" in counters
+
+
+def test_verify_pairs_signature_width_mismatch_is_loud(spark):
+    """Review finding: a signature table built at a different num_perm would
+    null-pad through zip_with and silently drop EVERY pair (total recall
+    loss); verify_pairs must fail loudly instead."""
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    from deduplication_challenge_spark.operators.verify import verify_pairs
+
+    pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sigs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [1, 2])],  # widths 4 and 2, num_perm=128
+        "doc_id long, minhash array<long>",
+    )
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as exc:
+        verify_pairs(pairs, sigs, DedupConfig()).collect()
+    assert "signature width" in str(exc.value) or "num_perm" in str(exc.value)
