@@ -85,7 +85,11 @@ def main() -> None:
     for name in bench_queries:
         fn = eq.QUERIES[name]
         t0 = time.monotonic()
-        n = fn(spark, sf_dir).count()
+        # full materialization (collect, like the correctness driver), NOT
+        # count(): count() lets Catalyst prune computed columns, so a
+        # projection-only query (pii_redaction, url_canonicalization, ...)
+        # would be timed as a scan count instead of its actual work
+        n = len(fn(spark, sf_dir).collect())
         timings[name] = round(time.monotonic() - t0, 3)
 
     # docs/sec throughput for the pipeline (north-star metric)

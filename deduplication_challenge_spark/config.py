@@ -84,6 +84,19 @@ class DedupConfig:
     # --- consolidation ----------------------------------------------------
     min_group_size: int = 2            # singletons pass through untouched
                                        # (/root/reference/src/main.py:93-95)
+    # --- fault tolerance ----------------------------------------------------
+    checkpoint_mode: str = "local"     # 'local': localCheckpoint (executor-
+                                       # local, fastest, lost on executor
+                                       # failure — right for local[*]);
+                                       # 'reliable': setCheckpointDir +
+                                       # checkpoint() for the CC fixpoint
+                                       # loop and the global-anchor
+                                       # materialization, so an executor
+                                       # loss recovers instead of killing
+                                       # the query (the cluster-scale mode;
+                                       # plans/checkpointing.py).  Identical
+                                       # output either way — recovery knob,
+                                       # not semantics.
     # --- url dedup (optional pre-stage) -------------------------------------
     url_dedup: bool = False            # when True, a 'urldedup' stage BEFORE
                                        # ingest keeps the first-seen page per
@@ -119,6 +132,10 @@ class DedupConfig:
         if not (1 <= self.simhash_split_bits <= 63):
             raise ValueError(
                 f"simhash_split_bits must be in 1..63, got {self.simhash_split_bits}"
+            )
+        if self.checkpoint_mode not in ("local", "reliable"):
+            raise ValueError(
+                f"checkpoint_mode must be 'local' or 'reliable', got {self.checkpoint_mode!r}"
             )
         if self.line_dedup_min_docs is not None and self.line_dedup_min_docs < 2:
             raise ValueError(

@@ -552,12 +552,29 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-3 (rows-only check: bucketing is hash-based,
-    not SQL-expressible)."""
+    not SQL-expressible).  Pinned multi-table config 5 planes x 12 tables:
+    0.80 top-3 recall at a 0.34 candidate fraction on sf0.01 (low-cosine
+    regime — see the operator's docstring); misses surface via
+    ann_topk_lsh_missed."""
     from deduplication_challenge_spark.operators.similarity import cosine_topk_lsh
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries_df = e.where(F.col("vec_id") < 10)
-    return cosine_topk_lsh(e, queries_df, k=3, n_planes=8, seed=42)
+    return cosine_topk_lsh(e, queries_df, k=3, n_planes=5, n_tables=12, seed=42)
+
+
+def q_ann_topk_lsh_missed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k recall audit, driver-visible (rows-only by design): the
+    brute-force top-3 neighbors (pinned query ids, ann_topk_bruteforce) that
+    the hyperplane-LSH variant did NOT return for the same query.
+    spark_rows IS the miss count — top-k recall = 1 - rows/(10 queries x 3)
+    — the symmetric twin of embedding_lsh_missed_pairs, so a recall
+    regression in the top-k scale path surfaces directly in CORRECTNESS."""
+    exact = q_ann_topk_bruteforce(spark, sf_dir)
+    approx = q_ann_topk_lsh(spark, sf_dir)
+    return exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+    )
 
 
 #: Pin for the EXACT (O(n^2) cross-join) pair baseline: only vectors with
@@ -893,6 +910,7 @@ QUERIES = {
     "label_centroid_dims": q_label_centroid_dims,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_lsh_missed": q_ann_topk_lsh_missed,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_near_dup_pairs_lsh": q_embedding_near_dup_pairs_lsh,
     "embedding_lsh_missed_pairs": q_embedding_lsh_missed_pairs,

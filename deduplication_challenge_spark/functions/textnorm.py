@@ -43,30 +43,100 @@ _NL_RUN_RE = re.compile(r"\n{2,}")
 _TOKEN_RE = re.compile(r"\S+")
 
 
-def decode_html_bytes(data: bytes) -> str:
-    """utf-8 decode with replacement — deterministic for any byte input."""
-    return data.decode("utf-8", errors="replace")
+# --- charset handling --------------------------------------------------------
+# Real crawls are full of latin-1 / windows-1252 / shift-jis pages; decoding
+# everything as utf-8 would turn each into deterministic mojibake that
+# poisons shingles and dedup quality.  Precedence (pinned, matching the
+# WHATWG encoding-sniffing order as published): byte-order mark > transport
+# charset (HTTP Content-Type, carried by sources/warc.py) > in-document
+# <meta charset> declaration > utf-8 with replacement.
+
+#: <meta charset="..."> / <meta http-equiv=Content-Type content="...charset=...">
+#: scanned in the first 1024 bytes (the WHATWG prescan window)
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+_SNIFF_WINDOW = 1024
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
 
 
-def extract_text(html_bytes: bytes) -> str:
+def _resolve_codec(name: str | None) -> str | None:
+    """Codec name -> canonical Python codec, or None when unknown/empty.
+    Unknown charsets (typos, exotic legacy names) fall back to the utf-8
+    default rather than failing the record — deterministic either way."""
+    if not name:
+        return None
+    import codecs
+
+    try:
+        return codecs.lookup(name.strip().strip("\"'")).name
+    except (LookupError, ValueError):
+        return None
+
+
+def sniff_charset(data: bytes) -> str | None:
+    """BOM or <meta charset> declaration -> codec name (None = no signal).
+    The meta scan runs on the RAW bytes (before tag stripping — the tag
+    itself is the signal) over the first kilobyte only."""
+    for bom, codec in _BOMS:
+        if data[: len(bom)] == bom:
+            return codec
+    m = _META_CHARSET_RE.search(data[:_SNIFF_WINDOW])
+    return _resolve_codec(m.group(1).decode("ascii", "replace")) if m else None
+
+
+def resolve_charset(data: bytes, charset_hint: str | None = None) -> str:
+    """The pinned precedence: BOM > transport hint > meta tag > utf-8."""
+    for bom, codec in _BOMS:
+        if data[: len(bom)] == bom:
+            return codec
+    hinted = _resolve_codec(charset_hint)
+    if hinted:
+        return hinted
+    return sniff_charset(data) or "utf-8"
+
+
+def decode_html_bytes(data: bytes, charset_hint: str | None = None) -> str:
+    """Charset-aware decode with replacement — deterministic for any byte
+    input (unknown declared charsets fall back to utf-8/replace)."""
+    return data.decode(resolve_charset(data, charset_hint), errors="replace")
+
+
+def extract_text(html_bytes: bytes, charset_hint: str | None = None) -> str:
     """Deterministic text extraction. bytes -> str, total function.
 
     Policy (pinned — part of the golden config):
-      1. strip script/style/noscript bodies and comments (bytes level),
-      2. block tags -> ``\\n``, all other tags -> ``" "``,
-      3. utf-8 decode (errors=replace), HTML entity unescape,
-      4. unicode NFC normalization, ``\\r\\n``/``\\r`` -> ``\\n``,
+      1. resolve the charset (BOM > ``charset_hint`` from the transport /
+         HTTP Content-Type > <meta charset> prescan > utf-8); non-utf-8
+         pages are transcoded to utf-8 bytes first so the byte-level tag
+         regexes below see ASCII markup,
+      2. strip script/style/noscript bodies and comments (bytes level),
+      3. block tags -> ``\\n``, all other tags -> ``" "``,
+      4. utf-8 decode (errors=replace), HTML entity unescape,
+      5. unicode NFC normalization, ``\\r\\n``/``\\r`` -> ``\\n``,
          NBSP/zero-width chars folded,
-      5. collapse horizontal whitespace runs, strip line edges,
+      6. collapse horizontal whitespace runs, strip line edges,
          collapse blank-line runs, strip outer whitespace.
     """
     if html_bytes is None:
         return ""
+    codec = resolve_charset(html_bytes, charset_hint)
+    if codec not in ("utf-8", "ascii"):
+        # transcode ONCE so tag stripping operates on ASCII-compatible bytes
+        # (utf-16/32 markup would never match the byte regexes otherwise)
+        html_bytes = html_bytes.decode(codec, errors="replace").encode("utf-8")
     raw = _SCRIPT_STYLE_RE.sub(b" ", html_bytes)
     raw = _COMMENT_RE.sub(b" ", raw)
     raw = _BLOCK_TAG_RE.sub(b"\n", raw)
     raw = _ANY_TAG_RE.sub(b" ", raw)
-    text = decode_html_bytes(raw)
+    text = raw.decode("utf-8", errors="replace")
     text = _htmllib.unescape(text)
     return normalize_text(text)
 

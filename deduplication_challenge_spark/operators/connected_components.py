@@ -120,20 +120,31 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["c"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50, checkpoint_mode: str = "local"
+) -> DataFrame:
     """edges(src, dst) -> assignments(doc_id, cluster_id).
 
     cluster_id is the component's minimum doc_id. Only nodes that appear in
     an edge are returned — callers left-join docs and coalesce to doc_id for
     singletons (consolidate.attach_clusters), mirroring the reference's
     untouched singleton groups (/root/reference/src/main.py:94-95).
+
+    ``checkpoint_mode='reliable'`` swaps the per-iteration localCheckpoint
+    for a reliable checkpoint (plans/checkpointing.py): the fixpoint loop is
+    the longest lineage in the engine, and on a real cluster an executor
+    loss mid-loop must recover, not kill the query.  Identical output.
     """
-    cur = _local_contract(edges.where(F.col("src") != F.col("dst"))).localCheckpoint(
-        eager=True
+    from deduplication_challenge_spark.plans.checkpointing import stage_checkpoint
+
+    cur = stage_checkpoint(
+        _local_contract(edges.where(F.col("src") != F.col("dst"))),
+        checkpoint_mode,
+        eager=True,
     )
     prev_sig = None
     for _ in range(max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = stage_checkpoint(_small_star(_large_star(cur)), checkpoint_mode, eager=True)
         sig = _signature(cur)
         if sig == prev_sig:
             break

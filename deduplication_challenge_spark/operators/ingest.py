@@ -28,21 +28,40 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text)
 
 
+@F.pandas_udf(StringType())
+def extract_text_charset_udf(html: pd.Series, charset: pd.Series) -> pd.Series:
+    """Charset-aware variant: the transport (HTTP Content-Type) charset hint
+    rides as a second column (sources/warc.py emits it); precedence BOM >
+    hint > <meta charset> > utf-8 lives in functions/textnorm.extract_text —
+    the SAME pure function any pytest oracle calls, so engine and oracle
+    can never disagree on decoding."""
+    return pd.Series(
+        [extract_text(h, c) for h, c in zip(html.tolist(), charset.tolist())]
+    )
+
+
 def extract_pages(pages: DataFrame, *, recompute_text: bool = True) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> docs(doc_id, url, warc_ts,
-    text, lang).
+    """pages(url, warc_ts, html, text, lang[, charset]) -> docs(doc_id, url,
+    warc_ts, text, lang).
 
     ``recompute_text=True`` re-derives text from html through the extraction
     UDF (exercises the byte-identical invariant end-to-end); ``False`` trusts
     the shipped ``text`` column (pure column pruning — the parquet scan then
     never reads ``html``, which is the scale-correct plan when text is
-    already extracted upstream).
+    already extracted upstream).  An optional ``charset`` column (WARC reads
+    carry the HTTP-declared encoding) feeds the extraction's charset
+    precedence; sources without it decode by BOM/meta-sniff/utf-8 as before.
     """
+    has_charset = "charset" in pages.columns
     # rows without raw html (already-extracted upstream) trust the shipped
     # text column; extraction runs only where html bytes exist
+    extracted = (
+        extract_text_charset_udf(F.col("html"), F.col("charset"))
+        if has_charset
+        else extract_text_udf(F.col("html"))
+    )
     text_col = (
-        F.when(F.col("html").isNull(), F.col("text"))
-        .otherwise(extract_text_udf(F.col("html")))
+        F.when(F.col("html").isNull(), F.col("text")).otherwise(extracted)
         if recompute_text
         else F.col("text")
     )

@@ -328,6 +328,50 @@ def _doc_anchor_frame(
     return pd.DataFrame(cols).drop_duplicates()
 
 
+def anchor_join_key(cfg: DedupConfig) -> list[str]:
+    """The anchor equi-join key: hash only, or (hash, window text) when
+    cfg.substr_verify ships char-level verification through the shuffle."""
+    return ["anchor", "win"] if cfg.substr_verify else ["anchor"]
+
+
+def anchor_table(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """docs(doc_id, text) -> (doc_id, anchor[, win]) winnowed anchor rows.
+
+    This is the PERSISTABLE substring index: anchors are position- and
+    partition-independent functions of each doc's own content, so a stored
+    anchor table equi-joins against any future batch's anchors — the delta
+    substring pass (plans/incremental.py) is exactly that join."""
+    min_len = cfg.substr_min_len
+    winnow = cfg.substr_winnow_window
+    with_window = cfg.substr_verify
+    sel = docs.select("doc_id", "text").where(F.length("text") >= min_len)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _doc_anchor_frame(
+                    pdf["doc_id"].to_numpy(), pdf["text"].fillna("").tolist(),
+                    min_len, winnow, with_window,
+                )
+
+    schema = "doc_id long, anchor long" + (", win string" if with_window else "")
+    return sel.mapInPandas(gen, schema=schema)
+
+
+def substring_pairs_from_anchors(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Anchor table -> star edges (min doc per anchor group -> members)."""
+    key = anchor_join_key(cfg)
+    mins = anchors.groupBy(*key).agg(
+        F.min("doc_id").alias("src"), F.count("*").alias("_n")
+    )
+    return (
+        anchors.join(mins.where(F.col("_n") >= 2), key)
+        .where(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+
+
 def substring_pairs_global(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """GLOBAL exact-substring pass: per-doc winnowed anchor hashes as rows,
     one equi-join on the anchor value — cross-partition pairs found with no
@@ -350,35 +394,14 @@ def substring_pairs_global(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     winnow_window is the shuffle-size vs detection-floor knob (W=16 ->
     ~12% of positions; W=64 -> ~3% with a min_len+63-char floor; W=128 ->
     ~1.5% with a min_len+127-char floor)."""
-    min_len = cfg.substr_min_len
-    winnow = cfg.substr_winnow_window
-    with_window = cfg.substr_verify
-    sel = docs.select("doc_id", "text").where(F.length("text") >= min_len)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield _doc_anchor_frame(
-                    pdf["doc_id"].to_numpy(), pdf["text"].fillna("").tolist(),
-                    min_len, winnow, with_window,
-                )
-
-    schema = "doc_id long, anchor long" + (", win string" if with_window else "")
-    key = ["anchor", "win"] if with_window else ["anchor"]
     # lazy checkpoint: anchors feeds BOTH the mins aggregate and the join
     # probe side — without it the corpus is re-hashed and re-winnowed twice
     # (two MapInPandas nodes in the executed plan), doubling the dominant
     # cost of the default-scope substring pass
-    anchors = sel.mapInPandas(gen, schema=schema).localCheckpoint(eager=False)
-    mins = anchors.groupBy(*key).agg(
-        F.min("doc_id").alias("src"), F.count("*").alias("_n")
-    )
-    return (
-        anchors.join(mins.where(F.col("_n") >= 2), key)
-        .where(F.col("doc_id") != F.col("src"))
-        .select("src", F.col("doc_id").alias("dst"))
-        .distinct()
-    )
+    from deduplication_challenge_spark.plans.checkpointing import stage_checkpoint
+
+    anchors = stage_checkpoint(anchor_table(docs, cfg), cfg)
+    return substring_pairs_from_anchors(anchors, cfg)
 
 
 def substring_pairs(

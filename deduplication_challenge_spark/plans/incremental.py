@@ -14,12 +14,17 @@ Pinned contract:
     MINIMUM existing cluster id among its verified edges into the index;
   * a component bridging >= 2 existing clusters still attaches to the
     minimum, and the bridge is RECORDED in the ``bridges`` output — the
-    signal that a periodic full recluster (compaction) is due, never a
-    silent merge or a silent drop;
-  * detection scope: MinHash-LSH bands + Jaccard verification (plus
-    new-vs-new SimHash).  The suffix-array substring pass needs the full
-    corpus text and is deliberately a full-run/compaction concern —
-    documented, not silent (`report['scope']`).
+    signal that a periodic full recluster (:meth:`IncrementalDedup.compact`)
+    is due, never a silent merge or a silent drop;
+  * detection scope: MinHash-LSH bands + Jaccard verification, new-vs-new
+    SimHash, AND — when the index carries the pipeline's persisted
+    ``anchors`` stage — the substring pass as a delta anchor equi-join
+    (cross and new-new).  An index built without the global-scope substring
+    pass runs without it, documented in ``report['scope']``, never silent;
+  * ``compact()`` = the periodic full recluster: reruns the complete
+    pipeline over the extended index in place, resolves recorded bridges,
+    emits an old->new cluster-id map, and leaves the workdir a valid
+    resumable DedupPipeline checkpoint again.
 
 Scale shape: the cross join touches only LSH band buckets that contain at
 least one NEW doc (the band equi-join prunes the index side); per bucket,
@@ -66,6 +71,28 @@ def lsh_cross_candidates(bands_new: DataFrame, bands_old: DataFrame) -> DataFram
     )
 
 
+def substring_cross_candidates(
+    anchors_new: DataFrame, anchors_old: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Delta substring pass: new-batch winnowed anchors equi-joined against
+    the index's persisted anchor table (the pipeline's 'anchors' stage).
+    Anchors are position- and batch-independent functions of each doc's own
+    content (operators/suffixarray.anchor_table), so a verbatim run shared
+    across batches yields identical anchor values — the cross pass is a
+    plain equi-join, min old doc per anchor bucket (star-edge analog,
+    bounded fan-out), exactly mirroring the full run's pairing rule."""
+    from deduplication_challenge_spark.operators.suffixarray import anchor_join_key
+
+    key = anchor_join_key(cfg)
+    old_min = anchors_old.groupBy(*key).agg(F.min("doc_id").alias("dst"))
+    return (
+        anchors_new.join(old_min, key)
+        .where(F.col("doc_id") != F.col("dst"))
+        .select(F.col("doc_id").alias("src"), "dst")
+        .distinct()
+    )
+
+
 def simhash_cross_candidates(
     chunks_new: DataFrame, chunks_old: DataFrame, hamming_k: int
 ) -> DataFrame:
@@ -104,15 +131,57 @@ class IncrementalDedup:
         self.spark = spark
         self.cfg = cfg
         self.workdir = index_workdir
+        if os.path.exists(os.path.join(index_workdir, "compact.journal.json")):
+            raise RuntimeError(
+                f"index at {index_workdir} has a crashed compact() swap — "
+                "its stage tables may be half-replaced; rerun compact() on a "
+                "fresh IncrementalDedup over the _compact_tmp sibling, or "
+                "rebuild with a full DedupPipeline run"
+            )
         for stage in ("ingest", "signatures", "cc"):
             if not os.path.exists(os.path.join(index_workdir, stage)):
                 raise FileNotFoundError(
                     f"index workdir is missing the '{stage}' stage table: "
                     f"{index_workdir} (run DedupPipeline first)"
                 )
+        # an extend.journal left behind means a previous extend_index crashed
+        # mid-promote: verify the journaled expected counts against the
+        # tables (parquet-metadata counts, no scan).  Matching counts =
+        # promote completed and only the journal unlink was lost — clean up
+        # and proceed; mismatched = the stage tables DISAGREE and silently
+        # attaching against them would corrupt cluster membership — refuse.
+        journal = os.path.join(index_workdir, "extend.journal.json")
+        if os.path.exists(journal):
+            import json
+            import shutil
+
+            with open(journal) as f:
+                j = json.load(f)
+            actual = {s: self._table_count(s) for s in j["expected"]}
+            if actual == j["expected"]:
+                # promote completed; only the journal unlink was lost
+                os.remove(journal)
+            elif actual == j["before"]:
+                # crash before any rename — tables untouched; roll back
+                shutil.rmtree(os.path.join(index_workdir, "_extend_staging"),
+                              ignore_errors=True)
+                os.remove(journal)
+            else:
+                raise RuntimeError(
+                    f"index at {index_workdir} has a crashed extend_index mid-"
+                    f"promote: table counts {actual} match neither the pre-"
+                    f"extend {j['before']} nor the expected {j['expected']} "
+                    "state — the stage tables are inconsistent; rebuild the "
+                    "index with compact() or a fresh DedupPipeline run"
+                )
 
     def _index(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.workdir, stage))
+
+    def _has_anchor_index(self) -> bool:
+        """True when the index carries the persisted substring-anchor table
+        (pipeline 'anchors' stage — global-scope substring runs write it)."""
+        return os.path.exists(os.path.join(self.workdir, "anchors"))
 
     def run(self, new_pages: DataFrame, recompute_text: bool = True):
         """-> (canonical_updates, assignments_new, bridges, report dict).
@@ -139,7 +208,13 @@ class IncrementalDedup:
         bands_old = lsh.band_table(sigs_old)
 
         cross = lsh_cross_candidates(bands_new, bands_old)
-        sigs_union = sigs_new.unionByName(sigs_old)
+        # a re-crawled url carries the SAME doc_id in both tables with
+        # possibly different signatures; prefer the NEW signature on conflict
+        # (anti-join the old side) so a cross pair can never pass Jaccard
+        # verification against stale content the page no longer has
+        sigs_union = sigs_new.unionByName(
+            sigs_old.join(sigs_new.select("doc_id"), "doc_id", "left_anti")
+        )
         cross_lsh = verify.verify_pairs(cross, sigs_union, cfg).select("src", "dst")
 
         from deduplication_challenge_spark.operators.simhash import simhash_chunk_table
@@ -149,10 +224,40 @@ class IncrementalDedup:
             simhash_chunk_table(sigs_old, cfg),
             cfg.hamming_k,
         )
+        cross_parts = [cross_lsh, cross_sim]
+
+        # substring delta: when the index carries the pipeline's persisted
+        # anchor table ('anchors' stage, global-scope substring pass), the
+        # new batch's anchors equi-join against it — the biggest former
+        # scope cut of the incremental path.  Substring pairs are exact by
+        # construction (same rule as the batch pipeline): no Jaccard verify.
+        substr_active = self._has_anchor_index()
+        nn_substr = None
+        if substr_active:
+            from deduplication_challenge_spark.operators.suffixarray import (
+                anchor_table,
+                substring_pairs_from_anchors,
+            )
+
+            anchors_new = anchor_table(docs_new, cfg).localCheckpoint(eager=False)
+            self._anchors_new = anchors_new
+            anchors_old = self._index("anchors")
+            # a re-crawled url (same doc_id) may have stale anchors in the
+            # index: prefer the new batch's anchors on conflict, same rule
+            # as the signature union above
+            anchors_old = anchors_old.join(
+                anchors_new.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            cross_parts.append(substring_cross_candidates(anchors_new, anchors_old, cfg))
+            nn_substr = substring_pairs_from_anchors(anchors_new, cfg)
+
         # lazy checkpoint: cross_ok feeds the attach join AND two report
         # counters — without it the band join + verify + simhash probe (the
         # dominant cost at index scale) would re-execute per consumer
-        cross_ok = cross_lsh.unionByName(cross_sim).distinct().localCheckpoint(eager=False)
+        cross_ok = cross_parts[0]
+        for p in cross_parts[1:]:
+            cross_ok = cross_ok.unionByName(p)
+        cross_ok = cross_ok.distinct().localCheckpoint(eager=False)
 
         # new-vs-new edges: the standard batch rules at batch scale
         nn_lsh, _ = lsh.candidate_pairs(bands_new, cfg)
@@ -161,9 +266,13 @@ class IncrementalDedup:
             verify.verify_pairs(nn_lsh.select("src", "dst"), sigs_new, cfg)
             .select("src", "dst")
             .unionByName(nn_sim.select("src", "dst"))
-            .distinct()
         )
-        comps = connected_components(nn_ok)  # (doc_id, cluster_id) among new
+        if nn_substr is not None:
+            nn_ok = nn_ok.unionByName(nn_substr.select("src", "dst"))
+        nn_ok = nn_ok.distinct()
+        comps = connected_components(
+            nn_ok, checkpoint_mode=cfg.checkpoint_mode
+        )  # (doc_id, cluster_id) among new
         comp_of = docs_new.select("doc_id").join(comps, "doc_id", "left").select(
             "doc_id", F.coalesce("cluster_id", "doc_id").alias("comp_id")
         )
@@ -230,11 +339,104 @@ class IncrementalDedup:
             "new_clusters": assignments_new.where("NOT attached")
             .select("cluster_id").distinct().count(),
             "bridges": bridges.count(),
-            "scope": "minhash-lsh+verify cross; lsh+simhash new-new; "
-                     "substring pass deferred to full-run compaction",
+            "scope": (
+                "minhash-lsh+verify cross; lsh+simhash new-new; substring "
+                "via persisted anchor-table equi-join (cross + new-new)"
+                if substr_active
+                else "minhash-lsh+verify cross; lsh+simhash new-new; "
+                "substring pass OFF (index has no anchors stage — build the "
+                "index with the global-scope substring pass, or compact())"
+            ),
         }
         self._last = (docs_new, sigs_new, assignments_new)
         return canonical_updates, assignments_new, bridges, report
+
+    def _table_count(self, stage: str) -> int:
+        """Parquet-metadata row count of an index stage table (no data scan)."""
+        return self._index(stage).count()
+
+    def compact(self):
+        """Periodic full recluster over the (extended) index, IN PLACE:
+        -> (canonical, cluster_map, report).
+
+        Reruns the complete DedupPipeline — every stage, including the
+        suffix-array substring pass and the persisted anchors index — over
+        all docs accumulated in the index, so recorded bridges resolve into
+        real merges and append-only drift is flushed.  The workdir becomes a
+        valid resumable DedupPipeline checkpoint again (fresh stage tables +
+        manifests), and subsequent ``run()`` batches attach against the
+        compacted state.
+
+        ``cluster_map`` is the distinct (old_cluster_id, new_cluster_id)
+        mapping over every doc in the index (implicit singletons included on
+        both sides via the coalesce-to-doc_id rule) — the relation callers
+        apply to any externally-stored cluster references.  A bridged pair
+        of old clusters maps to ONE new cluster id; an old cluster split by
+        config-identical recluster cannot occur (detection is deterministic
+        and compaction only ADDS the substring/corpus-wide context).
+
+        Crash safety: the new pipeline runs in a sibling temp workdir; a
+        journal marks the in-place swap, and ``__init__`` refuses an index
+        whose swap journal is still present (mid-swap crash) instead of
+        attaching against half-swapped tables."""
+        import json
+        import shutil
+
+        from deduplication_challenge_spark.plans.pipeline import DedupPipeline
+
+        docs = self._index("ingest")
+        # old assignments (incl. implicit singletons), materialized EAGERLY:
+        # the swap below deletes the very parquet dirs this plan reads
+        old_full = (
+            docs.select("doc_id")
+            .join(self._index("cc"), "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("cluster_id", "doc_id").alias("old_cluster_id")
+            )
+            .localCheckpoint()
+        )
+        pages = docs.select(
+            "url", "warc_ts", F.lit(None).cast("binary").alias("html"), "text", "lang"
+        )
+        tmp = self.workdir.rstrip("/") + "_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        pipe = DedupPipeline(
+            self.spark, self.cfg, tmp, include_substring=True, recompute_text=False
+        )
+        _, report = pipe.run(pages, input_desc=f"compact:{self.workdir}")
+
+        journal = os.path.join(self.workdir, "compact.journal.json")
+        with open(journal, "w") as f:
+            json.dump({"tmp": tmp}, f)
+        for name in os.listdir(self.workdir):
+            if name in ("compact.journal.json",):
+                continue
+            full = os.path.join(self.workdir, name)
+            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        for name in os.listdir(tmp):
+            os.rename(os.path.join(tmp, name), os.path.join(self.workdir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.remove(journal)
+        if hasattr(self, "_last"):
+            del self._last  # pre-compact batch state is stale
+
+        new_full = (
+            old_full.select("doc_id", "old_cluster_id")
+            .join(self._index("cc"), "doc_id", "left")
+            .select(
+                "doc_id",
+                "old_cluster_id",
+                F.coalesce("cluster_id", "doc_id").alias("new_cluster_id"),
+            )
+        )
+        cluster_map = new_full.select("old_cluster_id", "new_cluster_id").distinct()
+        canonical = self._index("consolidate")
+        rep = {
+            "docs_reclustered": old_full.count(),
+            "stages": report.to_dict(),
+            "counters": report.counters,
+        }
+        return canonical, cluster_map, rep
 
     def extend_index(self) -> None:
         """Grow the index with the batch from the last ``run`` so the NEXT
@@ -242,33 +444,86 @@ class IncrementalDedup:
         loop: run(B); extend_index(); run(C); ...
 
         Appends the batch's docs / signatures / assignments to the index
-        stage tables (parquet append — on Iceberg this is a snapshot
-        append).  Re-crawled urls (doc_ids already present in the index)
-        are EXCLUDED from the append — first-write-wins for the index
-        itself, so a doc_id can never appear twice in the stage tables and
-        inflate later consolidation groups; the re-crawl still participated
-        in the attach that just ran (its delta consolidation was
-        last-write-wins).  The workdir stops being a resumable
-        DedupPipeline checkpoint once extended — its stage manifests
-        describe the ORIGINAL run — so the manifests are deleted to make
-        any later resume attempt rebuild loudly instead of silently
-        reusing stale fingerprints."""
+        stage tables (parquet append — on Iceberg this is one atomic
+        snapshot append).  Re-crawled urls (doc_ids already present in the
+        index) are EXCLUDED from the append — first-write-wins for the
+        index itself, so a doc_id can never appear twice in the stage
+        tables and inflate later consolidation groups; the re-crawl still
+        participated in the attach that just ran (its delta consolidation
+        was last-write-wins).
+
+        Crash safety (plain parquet has no snapshot atomicity, so this is
+        staged + journaled): all tables are written to a STAGING dir first,
+        a journal records the expected post-promote row counts, part files
+        are then promoted (renames — the narrowest window the filesystem
+        offers), counts verified, journal removed.  ``__init__`` refuses an
+        index whose journal is present with mismatched counts — a crash
+        mid-promote can never silently attach batches against an index
+        whose tables disagree.
+
+        The workdir stops being a resumable DedupPipeline checkpoint once
+        extended — its stage manifests describe the ORIGINAL run — so the
+        manifests are deleted to make any later resume attempt rebuild
+        loudly instead of silently reusing stale fingerprints."""
         if not hasattr(self, "_last"):
             raise RuntimeError("extend_index() requires a completed run() first")
+        import json
+        import shutil
+
         docs_new, sigs_new, assignments_new = self._last
+        stages = ["ingest", "signatures", "cc"]
+        if self._has_anchor_index():
+            stages.append("anchors")
         known = self._index("ingest").select("doc_id")
-        # EAGER checkpoint: fresh reads the very parquet dir the append below
-        # writes to — materialize the anti-join fully before touching it
-        fresh = docs_new.join(known, "doc_id", "left_anti").localCheckpoint()
+        fresh = docs_new.join(known, "doc_id", "left_anti").localCheckpoint(eager=False)
         fresh_ids = fresh.select("doc_id")
-        fresh.write.mode("append").parquet(os.path.join(self.workdir, "ingest"))
-        sigs_new.join(fresh_ids, "doc_id", "left_semi").write.mode("append").parquet(
-            os.path.join(self.workdir, "signatures")
+
+        staging = os.path.join(self.workdir, "_extend_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        fresh.write.parquet(os.path.join(staging, "ingest"))
+        sigs_new.join(fresh_ids, "doc_id", "left_semi").write.parquet(
+            os.path.join(staging, "signatures")
         )
         assignments_new.select("doc_id", "cluster_id").join(
             fresh_ids, "doc_id", "left_semi"
-        ).write.mode("append").parquet(os.path.join(self.workdir, "cc"))
+        ).write.parquet(os.path.join(staging, "cc"))
+        if "anchors" in stages:
+            self._anchors_new.join(fresh_ids, "doc_id", "left_semi").write.parquet(
+                os.path.join(staging, "anchors")
+            )
+
+        staged = {
+            s: self.spark.read.parquet(os.path.join(staging, s)).count() for s in stages
+        }
+        before = {s: self._table_count(s) for s in stages}
+        expected = {s: before[s] + staged[s] for s in stages}
+        journal = os.path.join(self.workdir, "extend.journal.json")
+        with open(journal, "w") as f:
+            json.dump({"before": before, "expected": expected}, f)
+
+        # manifests become stale the moment promotion starts; delete them
+        # first so a crash anywhere below leaves "no manifests" (loud
+        # rebuild) rather than "stale manifests" (silent wrong reuse)
         for name in os.listdir(self.workdir):
             if name.endswith(".manifest.json"):
                 os.remove(os.path.join(self.workdir, name))
+        for s in stages:
+            src_dir = os.path.join(staging, s)
+            dst_dir = os.path.join(self.workdir, s)
+            for fn in os.listdir(src_dir):
+                if fn == "_SUCCESS" or fn.endswith("_SUCCESS.crc"):
+                    continue
+                dst = os.path.join(dst_dir, fn)
+                if os.path.exists(dst):  # part-file UUIDs make this ~impossible
+                    raise RuntimeError(f"extend_index: staged file collides: {dst}")
+                os.rename(os.path.join(src_dir, fn), dst)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        actual = {s: self._table_count(s) for s in stages}
+        if actual != expected:
+            raise RuntimeError(
+                f"extend_index: post-promote counts {actual} != expected {expected}; "
+                "index is inconsistent — rebuild via compact()"
+            )
+        os.remove(journal)
         del self._last

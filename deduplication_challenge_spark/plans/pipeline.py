@@ -37,11 +37,14 @@ from deduplication_challenge_spark.operators.ingest import extract_pages
 from deduplication_challenge_spark.operators.signatures import compute_signatures
 
 STAGES = [
-    "urldedup", "ingest", "linededup", "signatures",
+    "urldedup", "ingest", "linededup", "signatures", "anchors",
     "candidates", "verify", "cc", "consolidate",
 ]
-# 'urldedup' runs only when cfg.url_dedup is True and 'linededup' only when
-# cfg.line_dedup_min_docs is set; all other stages are unconditional
+# 'urldedup' runs only when cfg.url_dedup is True, 'linededup' only when
+# cfg.line_dedup_min_docs is set, and 'anchors' (the persisted winnowed
+# substring-anchor table — also the substring index the incremental delta
+# pass joins new batches against) only for the global-scope substring pass;
+# all other stages are unconditional
 
 
 @dataclass
@@ -247,11 +250,46 @@ class DedupPipeline:
             # shared-paragraph hot LSH buckets never form in the first place
             from deduplication_challenge_spark.operators.linededup import dedup_lines
 
+            # dedup_lines REQUIRES unique doc_id (its groupBy(doc_id) rebuild
+            # would interleave two versions' paragraphs into one text, and the
+            # rebuild join below would fan rows out).  doc_id = xxhash64(url),
+            # so a url crawled twice in one batch violates the precondition —
+            # the ingest audit already counts exactly this.  When collisions
+            # exist, collapse to ONE row per doc_id first: keep the latest
+            # (warc_ts, then text/lang as total-order tie-breaks) — the same
+            # last-write-wins rule the incremental path pins for re-crawls —
+            # and record how many rows were collapsed (never silent).
+            ingest_collisions = int(
+                report.stages["ingest"].counters.get("doc_id_collisions", 0)
+            )
+            docs_rows = int(report.stages["ingest"].counters.get("docs_scanned", 0))
+            distinct_ids = int(
+                report.stages["ingest"].counters.get("distinct_doc_ids", docs_rows)
+            )
+            has_dup_ids = ingest_collisions > 0 or docs_rows != distinct_ids
+
             def build_linededup() -> DataFrame:
+                uniq = docs
+                if has_dup_ids:
+                    epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+                    pick = F.max(
+                        F.struct(
+                            F.coalesce("warc_ts", epoch).alias("k_ts"),
+                            F.col("text").alias("k_text"),
+                            F.col("lang").alias("k_lang"),
+                            F.col("url"),
+                            F.col("warc_ts"),
+                            F.col("text"),
+                            F.col("lang"),
+                        )
+                    ).alias("w")
+                    uniq = docs.groupBy("doc_id").agg(pick).select(
+                        "doc_id", "w.url", "w.warc_ts", "w.text", "w.lang"
+                    )
                 deduped = dedup_lines(
-                    docs.select("doc_id", "text"), min_docs=cfg.line_dedup_min_docs
+                    uniq.select("doc_id", "text"), min_docs=cfg.line_dedup_min_docs
                 )
-                return docs.drop("text").join(deduped, "doc_id")
+                return uniq.drop("text").join(deduped, "doc_id")
 
             def linededup_counters(df: DataFrame, rows: int) -> dict:
                 agg = df.agg(
@@ -263,6 +301,9 @@ class DedupPipeline:
                     "lines_total": int(agg["t"] or 0),
                     "lines_removed": int(agg["r"] or 0),
                     "docs_line_deduped": int(agg["c"] or 0),
+                    # rows collapsed by the duplicate-doc_id last-write-wins
+                    # pre-step (0 when the batch had unique doc ids)
+                    "docs_collapsed_dup_doc_id": docs_rows - rows if has_dup_ids else 0,
                 }
 
             deduped_docs, fp = self._run_stage(
@@ -278,20 +319,41 @@ class DedupPipeline:
             lambda df, rows: {"signatures_emitted": rows},
         )
 
+        # global-scope substring pass: the winnowed anchor table is its own
+        # persisted stage — (a) the dominant kernel (hash+winnow the corpus)
+        # materializes exactly once and both its consumers (mins aggregate,
+        # probe join) read parquet; (b) the table IS the substring index the
+        # incremental delta pass (plans/incremental.py) equi-joins new
+        # batches against, closing the delta-scope gap
+        anchors_df = None
+        use_global_substr = (
+            self.include_substring
+            and self.substring_partitions is None
+            and cfg.substr_scope == "global"
+        )
+        if use_global_substr:
+            anchors_df, fp = self._run_stage(
+                report, "anchors", fp, "docs",
+                lambda: suffixarray.anchor_table(docs, cfg),
+                lambda df, rows: {"anchors_emitted": rows},
+            )
+
+        # stats frames built alongside the edges (sharing the checkpointed
+        # band/chunk tables) and collected in candidate_counters AFTER the
+        # stage materializes — the band table is generated once per run,
+        # never re-derived for the counters pass
+        stats_holder: dict[str, DataFrame] = {}
+
         def build_candidates() -> DataFrame:
-            # stats frames are NOT collected here — extra driver-blocking
-            # jobs would serialize the stage; per-origin counters come from
-            # one cheap aggregate over the materialized table below.
             # NOTE: no separate exact-dup edge source — byte-identical docs
             # have identical signatures, co-bucket in every LSH band, and
             # verify at estimated Jaccard 1.0, so LSH+verify provably covers
             # them (operators/exact.py stays as the cheap standalone path).
-            bands = lsh.band_table(sigs)
-            lsh_edges, _ = lsh.candidate_pairs(bands, cfg)
-            sim_edges, _ = simhash.hamming_pairs(sigs, cfg)
-            # stats frames are re-derived in candidate_counters AFTER the
-            # stage materializes (from the persisted signatures table), so
-            # the write path never blocks on extra driver jobs
+            # Lazy checkpoint on bands: the edge join AND the stats
+            # aggregate both consume it — one band explode per run.
+            bands = lsh.band_table(sigs).localCheckpoint(eager=False)
+            lsh_edges, stats_holder["lsh"] = lsh.candidate_pairs(bands, cfg)
+            sim_edges, stats_holder["simhash"] = simhash.hamming_pairs(sigs, cfg)
             lsh_tagged = lsh_edges.select("src", "dst", F.lit("lsh").alias("origin"))
             sim_tagged = sim_edges.select("src", "dst", F.lit("simhash").alias("origin"))
             parts = [lsh_tagged, sim_tagged]
@@ -299,8 +361,8 @@ class DedupPipeline:
                 # explicit substring_partitions forces the partition-local
                 # kernels (tests pin co-location to compare against local
                 # goldens); otherwise cfg.substr_scope picks the pass
-                if self.substring_partitions is None and cfg.substr_scope == "global":
-                    sub = suffixarray.substring_pairs_global(docs, cfg)
+                if use_global_substr:
+                    sub = suffixarray.substring_pairs_from_anchors(anchors_df, cfg)
                 else:
                     sub = suffixarray.substring_pairs(docs, cfg, self.substring_partitions)
                 parts.append(sub.select("src", "dst", F.lit("substring").alias("origin")))
@@ -317,12 +379,13 @@ class DedupPipeline:
             # no-silent-caps contract: bucket-cap degradations (all_pairs
             # mode) and simhash hot-group splits are pinned SEMANTIC events
             # and must reach the manifest, not just the modules' return
-            # values.  Recomputed here from the already-persisted signatures
-            # table — one aggregate pass each, off the stage's write path.
-            _, lsh_stats = lsh.candidate_pairs(lsh.band_table(sigs), cfg)
-            _, sim_stats = simhash.hamming_pairs(sigs, cfg)
-            ls = lsh_stats.collect()[0].asDict()
-            ss = sim_stats.collect()[0].asDict()
+            # values.  The frames were built in build_candidates over the
+            # SAME checkpointed band/chunk tables the edges consumed —
+            # collecting them here runs two small aggregates over already-
+            # materialized data, off the stage's write path, with no table
+            # regeneration.
+            ls = stats_holder["lsh"].collect()[0].asDict()
+            ss = stats_holder["simhash"].collect()[0].asDict()
             return {
                 "pairs_candidates": rows,
                 **per_origin,
@@ -353,7 +416,9 @@ class DedupPipeline:
 
         assignments, fp = self._run_stage(
             report, "cc", fp, "edges",
-            lambda: connected_components(verified.select("src", "dst")),
+            lambda: connected_components(
+                verified.select("src", "dst"), checkpoint_mode=cfg.checkpoint_mode
+            ),
             lambda df, rows: {"nodes_clustered": rows},
         )
 

@@ -66,14 +66,29 @@ def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
 def read_pages_csv(spark: SparkSession, path: str) -> DataFrame:
     """CSV pages (header row) -> (url, warc_ts, html, text, lang).
     multiLine=True: extracted text contains newlines; correctness over
-    splittability (see module docstring)."""
-    return _finish(
-        spark.read.schema(TEXT_SCHEMA)
-        .option("header", True)
+    splittability (see module docstring).
+
+    CSV columns are matched BY HEADER NAME, not position: a user schema
+    makes Spark assign columns positionally (enforceSchema), so a file with
+    the same columns in a different order would silently land text in lang.
+    Reading header-named string columns and selecting by name makes column
+    order irrelevant; a genuinely missing column fails loudly in _finish."""
+    raw = (
+        spark.read.option("header", True)
         .option("multiLine", True)
         .option("escape", '"')
         .csv(path)
     )
+    present = [n for n, _ in PAGES_FIELDS if n in raw.columns]
+    typed = raw.select(
+        *[F.col(n).cast(t).alias(n) for n, t in PAGES_FIELDS if n in present]
+    )
+    # null-fill absent columns (matching schema-enforced read semantics) so
+    # _finish's structural probe — not a KeyError — reports what's wrong
+    for n, t in PAGES_FIELDS:
+        if n not in present:
+            typed = typed.withColumn(n, F.lit(None).cast(t))
+    return _finish(typed)
 
 
 def write_pages_jsonl(pages: DataFrame, path: str) -> None:

@@ -29,14 +29,21 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+#: WARC reads additionally carry the HTTP-declared charset so ingest's
+#: extraction honors the transport encoding (functions/textnorm precedence:
+#: BOM > this hint > <meta charset> > utf-8); parquet/JSONL pages without
+#: the column behave exactly as before
+PAGES_CHARSET_DDL = PAGES_DDL + ", charset string"
 
 _CRLF = b"\r\n"
+_CHARSET_RE = re.compile(rb"charset\s*=\s*([^;\s\"']+)", re.IGNORECASE)
 
 
 def _gunzip_all(data: bytes) -> bytes:
@@ -95,10 +102,22 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         pos = body_start + length
 
 
-def _http_body(payload: bytes) -> bytes:
-    """HTTP response payload -> body bytes (headers stripped)."""
+def _http_body(payload: bytes) -> tuple[bytes, str | None]:
+    """HTTP response payload -> (body bytes, Content-Type charset or None).
+    The header charset is the TRANSPORT encoding signal — real Common Crawl
+    is full of latin-1 / windows-1252 / shift-jis pages whose only correct
+    decode hint lives here; discarding it yields deterministic mojibake."""
     sep = payload.find(_CRLF + _CRLF)
-    return payload[sep + 4 :] if sep >= 0 else payload
+    if sep < 0:
+        return payload, None
+    charset = None
+    for line in payload[:sep].split(_CRLF):
+        if line[:13].lower() == b"content-type:":
+            m = _CHARSET_RE.search(line)
+            if m:
+                charset = m.group(1).decode("ascii", errors="replace")
+            break
+    return payload[sep + 4 :], charset
 
 
 def warc_bytes_to_pages(data: bytes, record_type: str = "response") -> list[dict]:
@@ -117,10 +136,13 @@ def warc_bytes_to_pages(data: bytes, record_type: str = "response") -> list[dict
         if not url:
             continue
         ts = pd.to_datetime(headers.get("warc-date"), utc=True, errors="coerce")
+        charset = None
         if record_type == "conversion":
+            # WET conversion records are utf-8 text by the published spec
             html, text = None, payload.decode("utf-8", errors="replace")
         else:
-            html, text = _http_body(payload), None
+            html, charset = _http_body(payload)
+            text = None
         rows.append(
             {
                 "url": url,
@@ -128,6 +150,7 @@ def warc_bytes_to_pages(data: bytes, record_type: str = "response") -> list[dict
                 "html": html,
                 "text": text,
                 "lang": None,
+                "charset": charset,
             }
         )
     return rows
@@ -146,14 +169,14 @@ def read_warc(spark: SparkSession, path: str, record_type: str = "response") -> 
     files = spark.read.format("binaryFile").load(path).select("content")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "warc_ts", "html", "text", "lang"]
+        cols = ["url", "warc_ts", "html", "text", "lang", "charset"]
         for pdf in batches:
             for content in pdf["content"]:
                 rows = warc_bytes_to_pages(bytes(content), record_type)
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(gen, schema=PAGES_DDL)
+    return files.mapInPandas(gen, schema=PAGES_CHARSET_DDL)
 
 
 def write_warc(rows: list[dict], gzip_members: bool = True) -> bytes:
@@ -162,7 +185,12 @@ def write_warc(rows: list[dict], gzip_members: bool = True) -> bytes:
     out = io.BytesIO()
     for r in rows:
         body = r.get("html") or b""
-        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        ctype = "text/html" + (
+            f"; charset={r['charset']}" if r.get("charset") else ""
+        )
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode("ascii") + b"\r\n\r\n" + body
+        )
         ts = r.get("warc_ts")
         date = (
             pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")

@@ -166,28 +166,33 @@ def stream_near_dup_tagged(
             state.remove()
             return
         first_url, first_ts = state.get if state.exists else (None, 0)
-        max_ts = 0
-        frames = []
-        for pdf in pdfs:
-            # event-time order within the micro-batch so "first seen" is
-            # deterministic under availableNow replays
-            pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
-            suppressed, firsts = [], []
-            for url, ts in zip(pdf["url"].tolist(), pdf["warc_ts"].tolist()):
-                ts_ms = 0 if pd.isna(ts) else int(ts.value // 1_000_000)
-                max_ts = max(max_ts, ts_ms)
-                if first_url is None:
-                    first_url, first_ts = url, ts_ms
-                    suppressed.append(False)
-                else:
-                    suppressed.append(True)
-                firsts.append(first_url)
-            frames.append(
-                pdf.assign(suppressed=suppressed, first_url=firsts)[
-                    ["url", "warc_ts", "text", "lang", "canopy", "len_bucket",
-                     "suppressed", "first_url"]
-                ]
-            )
+        # concat the whole group THEN sort: per-chunk sorting would make the
+        # "first seen" election depend on Spark's chunking of the group.
+        # Null timestamps sort as the EPOCH (the engine's pinned null-ts
+        # convention, operators/urlnorm._NULL_TS) — NOT pandas' NaT-last —
+        # so the streaming election matches the batch first-seen rule.
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            if state.exists:
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_ms)
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        ts_filled = pdf["warc_ts"].fillna(pd.Timestamp(0))
+        pdf = pdf.assign(_ts=ts_filled).sort_values(["_ts", "url"], kind="mergesort")
+        ts_ms = pdf["_ts"].to_numpy("datetime64[ns]").astype("int64") // 1_000_000
+        max_ts = int(ts_ms.max())
+        # vectorized election: only the group's globally-first row (state
+        # empty) is unsuppressed; everything else tags to first_url
+        suppressed = [True] * len(pdf)
+        if first_url is None:
+            first_url, first_ts = pdf["url"].iloc[0], int(ts_ms[0])
+            suppressed[0] = False
+        frames = [
+            pdf.assign(suppressed=suppressed, first_url=first_url)[
+                ["url", "warc_ts", "text", "lang", "canopy", "len_bucket",
+                 "suppressed", "first_url"]
+            ]
+        ]
         state.update((first_url, first_ts))
         # anchor the timeout at max(newest event, current watermark): rows
         # with null warc_ts contribute ts_ms=0, and epoch+horizon would sit

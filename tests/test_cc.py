@@ -56,6 +56,27 @@ def test_negative_ids(spark):
     assert got == {-5: -5, 2: -5, 7: -5}
 
 
+def test_reliable_checkpoint_mode_identical_output(spark):
+    """checkpoint_mode='reliable' (setCheckpointDir + checkpoint(), the
+    cluster fault-tolerance mode) must be a pure recovery knob: identical
+    assignments to the default localCheckpoint mode on the same edges."""
+    edges = [(i, i + 1) for i in range(1, 25)] + [(100, 200), (200, 300), (-4, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_mode="local").collect()
+    }
+    reliable = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_mode="reliable").collect()
+    }
+    assert local == reliable
+    assert spark.sparkContext.getCheckpointDir()  # dir was provisioned
+
+    with pytest.raises(ValueError, match="checkpoint_mode"):
+        connected_components(df, checkpoint_mode="bogus").collect()
+
+
 def test_numpy_contract_kernel_matches_union_find():
     """_contract_edges_numpy (the vectorized partition-local kernel) vs the
     sequential union-find oracle on randomized edge sets."""

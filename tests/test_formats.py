@@ -69,6 +69,26 @@ def test_csv_embedded_newlines_roundtrip(spark, tmp_path_factory):
     assert back[0]["text"] == "para one\n\npara two\nline"
 
 
+def test_csv_reordered_columns_match_by_name(spark, tmp_path_factory):
+    """Advisor finding: a user schema maps CSV columns POSITIONALLY, so a
+    file with the same columns in a different order silently mis-assigned
+    (text read as lang).  The reader now matches by header name — any
+    column order round-trips correctly."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("fmt_reorder"))
+    with open(os.path.join(path, "x.csv"), "w") as f:
+        # lang before text, url last — a legal header, different order
+        f.write("lang,text,warc_ts,html_b64,url\n")
+        f.write('en,"the body text",2025-01-01T00:00:00.000Z,,https://f/ro\n')
+    back = read_pages_csv(spark, path).collect()
+    assert len(back) == 1
+    assert back[0]["url"] == "https://f/ro"
+    assert back[0]["text"] == "the body text"
+    assert back[0]["lang"] == "en"
+    assert back[0]["warc_ts"] == dt.datetime(2025, 1, 1)
+
+
 def test_structurally_wrong_file_fails_loudly(spark, tmp_path_factory):
     """A JSONL file without the url field null-fills under the enforced
     schema; the bounded probe turns that into an error, not a null corpus."""

@@ -216,6 +216,41 @@ class TestLineDedupStage:
         assert report2.stages["linededup"].skipped
         assert all(s.skipped for s in report2.stages.values())
 
+    def test_duplicate_doc_id_collapsed_not_fanned_out(
+        self, spark, micro_corpus, tmp_path_factory
+    ):
+        """A url crawled twice in one batch shares doc_id = xxhash64(url),
+        violating dedup_lines' uniqueness precondition — the stage must
+        collapse to the LATEST version (counted), never interleave both
+        versions' paragraphs or fan rows out through the rebuild join."""
+        import datetime as dt
+        from dataclasses import replace
+
+        from deduplication_challenge_spark.config import DedupConfig
+
+        pages, _ = corpus_to_spark(spark, micro_corpus)
+        re_crawl = spark.createDataFrame(
+            [
+                ("https://recrawl.example/x", dt.datetime(2025, 1, 1),
+                 None, "old version unique paragraph", "en"),
+                ("https://recrawl.example/x", dt.datetime(2025, 6, 1),
+                 None, "new version unique paragraph", "en"),
+            ],
+            schema=pages.schema,
+        )
+        cfg = replace(DedupConfig(), line_dedup_min_docs=2)
+        workdir = str(tmp_path_factory.mktemp("pipe_ld_dup"))
+        pipe = DedupPipeline(
+            spark, cfg, workdir, include_substring=False, substring_partitions=1
+        )
+        canonical, report = pipe.run(pages.unionByName(re_crawl), input_desc="dup-url")
+        ld = report.stages["linededup"]
+        assert ld.counters["docs_collapsed_dup_doc_id"] == 1
+        # stage output is one row per distinct doc_id (61), not 62
+        assert ld.rows == 61
+        texts = {u: r["text"] for r in canonical.collect() for u in r["member_urls"]}
+        assert texts["https://recrawl.example/x"] == "new version unique paragraph"
+
     def test_off_by_default(self, pipeline_run):
         assert "linededup" not in pipeline_run["report"].stages
 

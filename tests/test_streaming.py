@@ -234,3 +234,30 @@ class TestTaggedNullTimestamps:
         out = spark.sql(f"SELECT * FROM {name}").collect()
         assert len(out) == 2  # lossless, no crash
         assert all(not r["suppressed"] for r in out)
+
+    def test_null_ts_sorts_as_epoch_not_last(self, spark, tmp_path_factory):
+        """Advisor finding: pandas sorts NaT LAST, but the engine's pinned
+        null-ts convention is the EPOCH (urlnorm._NULL_TS) — a null-ts row
+        sharing a canopy group with dated rows must be elected 'first seen',
+        matching the batch first-seen rule."""
+        from deduplication_challenge_spark.streaming.stream_ops import (
+            stream_near_dup_tagged,
+        )
+
+        text = "shared canopy words alpha beta gamma delta epsilon " * 8
+        rows = [
+            ("https://e/dated", TS, None, text, "en"),
+            ("https://e/nullts", None, None, text, "en"),  # same canopy, null ts
+        ]
+        path = str(tmp_path_factory.mktemp("tagged_null_order"))
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        ckpt = str(tmp_path_factory.mktemp("ckpt_null_order"))
+        name = run_to_completion(
+            stream_near_dup_tagged(read_page_stream(spark, path), watermark="1 hour"), ckpt
+        )
+        out = {r["url"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        assert not out["https://e/nullts"]["suppressed"]  # epoch < TS => first
+        assert out["https://e/dated"]["suppressed"]
+        assert out["https://e/dated"]["first_url"] == "https://e/nullts"

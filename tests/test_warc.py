@@ -87,6 +87,52 @@ class TestWarcPipelineEquivalence:
         assert got == want
 
 
+class TestCharsetRoundtrip:
+    def test_http_charset_reaches_extraction(self, spark, tmp_path_factory):
+        """Fixture WARC with latin-1 (HTTP-header-declared), windows-1252
+        (meta-declared), and utf-16 (BOM) bodies round-trips to CORRECT
+        text through read_warc -> extract_pages — the transport charset
+        rides the pages' charset column into the extraction precedence."""
+        from deduplication_challenge_spark.operators.ingest import extract_pages
+
+        rows = [
+            {"url": "https://cs/latin1",
+             "html": "<p>café exposé</p>".encode("latin-1"),
+             "charset": "ISO-8859-1"},
+            {"url": "https://cs/w1252",
+             "html": "<meta charset=windows-1252><p>“smart” – quotes</p>".encode("cp1252")},
+            {"url": "https://cs/utf16",
+             "html": "<p>日本語のページ</p>".encode("utf-16")},
+            {"url": "https://cs/plain",
+             "html": "<p>plain utf-8 é</p>".encode()},
+        ]
+        path = tmp_path_factory.mktemp("warc_cs")
+        (path / "cs.warc.gz").write_bytes(write_warc(rows))
+        pages = read_warc(spark, str(path))
+        assert "charset" in pages.columns
+        got = {r["url"]: r["text"] for r in extract_pages(pages).collect()}
+        assert got["https://cs/latin1"] == "café exposé"
+        assert got["https://cs/w1252"] == "“smart” – quotes"
+        assert got["https://cs/utf16"] == "日本語のページ"
+        assert got["https://cs/plain"] == "plain utf-8 é"
+
+    def test_extraction_invariant_covers_charset_branch(self):
+        """pages-level invariant: text == extract_text(html, charset) for
+        every record the reader emits, charset column included."""
+        from deduplication_challenge_spark.functions.textnorm import extract_text
+
+        rows = [
+            {"url": "https://cs/a", "html": "<p>naïve</p>".encode("latin-1"),
+             "charset": "latin-1"},
+            {"url": "https://cs/b", "html": b"<p>plain</p>"},
+        ]
+        for p in warc_bytes_to_pages(write_warc(rows)):
+            text = extract_text(p["html"], p["charset"])
+            assert text  # non-degenerate
+            if p["url"].endswith("/a"):
+                assert text == "naïve"
+
+
 class TestWetAndCorruption:
     def test_wet_conversion_records(self, spark, tmp_path_factory):
         """Common Crawl WET: 'conversion' records carry extracted text; the
