@@ -64,27 +64,35 @@ _NULL_TS = "1970-01-01 00:00:00"
 def dedup_by_url(pages: DataFrame) -> DataFrame:
     """First-seen page per canonical url: (all input columns +
     canonical_url), one row per canonical url, earliest (warc_ts, url)
-    wins — deterministic at any partitioning.  Null timestamps sort as the
-    epoch and the winner re-join is null-safe, so rows with missing dates
-    (or even null urls) are deduped, never silently dropped."""
+    wins — deterministic at any partitioning; rows tying EXACTLY on
+    (warc_ts, url) all survive (the pinned rule the oracle mirrors).  Null
+    timestamps sort as the epoch and the winner comparison is null-safe, so
+    rows with missing dates (or even null urls) are deduped, never silently
+    dropped.
+
+    Plan shape: ONE shuffle — the winner election is a window min over the
+    canonical-url partition, so rows move once and there is no groupBy +
+    join-back re-scan (the r3 version shuffled three times for the same
+    semantics; plan-audit check #19 pins the single exchange)."""
+    from pyspark.sql.window import Window
+
     ts_key = F.coalesce("warc_ts", F.lit(_NULL_TS).cast("timestamp"))
     with_canon = (
         pages.withColumn("canonical_url", canonical_url("url"))
         .withColumn("_tskey", ts_key)
-        # group/join key coalesced: a null url (hence null canonical) forms
-        # its own group instead of being dropped by the equi-join
+        # partition key coalesced: a null url (hence null canonical) forms
+        # its own group instead of vanishing
         .withColumn("_ckey", F.coalesce("canonical_url", F.lit("\x00null-url")))
     )
-    winner = with_canon.groupBy("_ckey").agg(
-        F.min(F.struct(F.col("_tskey").alias("ts"), F.col("url").alias("url"))).alias("w")
+    w = Window.partitionBy("_ckey")
+    winner = F.min(
+        F.struct(F.col("_tskey").alias("ts"), F.col("url").alias("url"))
+    ).over(w)
+    return (
+        with_canon.withColumn("_w", winner)
+        .where(
+            F.col("_tskey").eqNullSafe(F.col("_w.ts"))
+            & F.col("url").eqNullSafe(F.col("_w.url"))
+        )
+        .drop("_tskey", "_ckey", "_w")
     )
-    return with_canon.join(
-        winner.select(
-            "_ckey",
-            F.col("w.ts").alias("_wts"),
-            F.col("w.url").alias("_wurl"),
-        ),
-        "_ckey",
-    ).where(
-        F.col("_tskey").eqNullSafe(F.col("_wts")) & F.col("url").eqNullSafe(F.col("_wurl"))
-    ).drop("_wts", "_wurl", "_tskey", "_ckey")

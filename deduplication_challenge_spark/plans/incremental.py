@@ -473,6 +473,14 @@ class IncrementalDedup:
         docs_new, sigs_new, assignments_new = self._last
         stages = ["ingest", "signatures", "cc"]
         if self._has_anchor_index():
+            if not hasattr(self, "_anchors_new"):
+                # can only happen if the anchors table appeared AFTER run()
+                # (external mutation) — extending without the batch's anchors
+                # would silently blind the substring index to these docs
+                raise RuntimeError(
+                    "index gained an anchors table after run(); re-run the "
+                    "batch so its anchors are computed before extending"
+                )
             stages.append("anchors")
         known = self._index("ingest").select("doc_id")
         fresh = docs_new.join(known, "doc_id", "left_anti").localCheckpoint(eager=False)

@@ -221,11 +221,122 @@ class TestChainedBatches:
             IncrementalDedup(spark, cfg, wd).extend_index()
 
 
+class TestSubstringDelta:
+    """The incremental substring pass: index built WITH the global-scope
+    substring stage persists its anchor table; delta batches equi-join
+    against it — planted CROSS-BATCH substring dups must attach."""
+
+    @pytest.fixture(scope="class")
+    def substr_corpus(self):
+        """Docs sharing a verbatim >= min_len + W - 1 = 111-char run inside
+        otherwise-dissimilar text: invisible to MinHash (Jaccard ~ 0.1) and
+        SimHash, detectable ONLY by the substring pass."""
+        import numpy as np
+
+        rng = np.random.Generator(np.random.PCG64(11))
+        vocab = [f"tok{i:04d}" for i in range(2000)]
+
+        def prose(n):
+            return " ".join(vocab[int(rng.integers(2000))] for _ in range(n))
+
+        shared = "the quick shared verbatim boilerplate passage that runs " \
+                 "for well over one hundred and eleven characters without " \
+                 "any change at all between documents"
+        assert len(shared) >= 111
+        a = prose(120) + " " + shared + " " + prose(120)
+        b = prose(120) + " " + shared + " " + prose(120)
+        return a, b
+
+    def test_cross_batch_substring_pair_attaches(
+        self, spark, substr_corpus, tmp_path_factory
+    ):
+        import datetime as dt
+
+        cfg = DedupConfig()
+        text_a, text_b = substr_corpus
+        mk = lambda u, t: (u, dt.datetime(2025, 1, 1), None, t, "en")
+        idx_pages = spark.createDataFrame([mk("https://s/a", text_a)], PAGES_DDL)
+        wd = str(tmp_path_factory.mktemp("substr_idx"))
+        # default include_substring=True + global scope -> anchors stage
+        DedupPipeline(spark, cfg, wd).run(idx_pages, "idx")
+        import os
+
+        assert os.path.exists(os.path.join(wd, "anchors"))
+        inc = IncrementalDedup(spark, cfg, wd)
+        _, assignments_new, _, rep = inc.run(
+            spark.createDataFrame([mk("https://s/b", text_b)], PAGES_DDL)
+        )
+        assert "anchor-table equi-join" in rep["scope"]
+        rows = assignments_new.collect()
+        assert len(rows) == 1 and rows[0]["attached"], rows
+
+    def test_split_equality_with_substring_scope(
+        self, spark, micro_corpus, substr_corpus, tmp_path_factory
+    ):
+        """Full-scope analog of the headline equality test: index over A,
+        attach B, compare pair sets against the full A+B run WITH the
+        substring pass on — including planted cross-batch substring dups."""
+        import datetime as dt
+
+        from deduplication_challenge_spark.oracle import xxhash64_str
+
+        cfg = DedupConfig()
+        text_a, text_b = substr_corpus
+        rows = micro_corpus.rows
+        extra_a = {"url": "https://s/xa", "warc_ts": dt.datetime(2025, 1, 1),
+                   "html": None, "text": text_a, "lang": "en"}
+        extra_b = {"url": "https://s/xb", "warc_ts": dt.datetime(2025, 1, 1),
+                   "html": None, "text": text_b, "lang": "en"}
+        a_rows = rows[::2] + [extra_a]
+        b_rows = rows[1::2] + [extra_b]
+        cols = ("url", "warc_ts", "html", "text", "lang")
+        df_a = spark.createDataFrame([tuple(r[c] for c in cols) for r in a_rows], PAGES_DDL)
+        df_b = spark.createDataFrame([tuple(r[c] for c in cols) for r in b_rows], PAGES_DDL)
+
+        wd = str(tmp_path_factory.mktemp("substr_split_idx"))
+        can_a, _ = DedupPipeline(spark, cfg, wd).run(df_a, "substr-a")
+        assign = {u: r["cluster_id"] for r in can_a.collect() for u in r["member_urls"]}
+        inc = IncrementalDedup(spark, cfg, wd)
+        _, assignments_new, bridges, _ = inc.run(df_b)
+        url_by_id = {xxhash64_str(r["url"]): r["url"] for r in a_rows + b_rows}
+        for r in assignments_new.collect():
+            assign[url_by_id[r["doc_id"]]] = r["cluster_id"]
+
+        wd_full = str(tmp_path_factory.mktemp("substr_split_full"))
+        can_full, _ = DedupPipeline(spark, cfg, wd_full).run(
+            df_a.unionByName(df_b), "substr-ab"
+        )
+        full_assign = {
+            u: r["cluster_id"] for r in can_full.collect() for u in r["member_urls"]
+        }
+        inc_pairs, full_pairs = _pairs(assign), _pairs(full_assign)
+        # the planted substring pair is cross-batch and found by BOTH paths
+        assert ("https://s/xa", "https://s/xb") in full_pairs
+        assert ("https://s/xa", "https://s/xb") in inc_pairs
+        # append-only contract: no invented pairs; every missed pair must be
+        # explained by a RECORDED bridge (a B doc connecting >=2 A clusters:
+        # full run merges them, append-only attach records the bridge)
+        assert inc_pairs <= full_pairs
+        bridged = {c for b in bridges.collect() for c in b["bridged_clusters"]}
+        assert bridges.count() >= 1  # this corpus DOES bridge under substring
+        for a, b in full_pairs - inc_pairs:
+            assert assign[a] in bridged and assign[b] in bridged, (a, b)
+        # compact() resolves the recorded bridges: exact pair equality after
+        inc.extend_index()
+        canonical, _, _ = inc.compact()
+        compact_assign = {
+            u: r["cluster_id"] for r in canonical.collect() for u in r["member_urls"]
+        }
+        assert _pairs(compact_assign) == full_pairs
+
+
 class TestCompaction:
     def test_bridges_resolve_under_full_recluster(self, spark, tmp_path_factory):
-        """Compaction = run the full pipeline over everything: the bridge
-        the incremental pass RECORDED becomes an actual merge."""
+        """compact(): the bridge the incremental pass RECORDED becomes an
+        actual merge, the old->new cluster map is correct, and the workdir
+        is a valid resumable pipeline checkpoint again."""
         import datetime as dt
+        import os
 
         cfg = DedupConfig()
         text_a, text_c, text_bridge = _bridge_corpus()
@@ -237,15 +348,100 @@ class TestCompaction:
         DedupPipeline(spark, cfg, wd, include_substring=False).run(idx_pages, "idx")
         bridge_rows = [mk("https://c/bridge", text_bridge)]
         new_pages = spark.createDataFrame(bridge_rows, PAGES_DDL)
-        _, _, bridges, _ = IncrementalDedup(spark, cfg, wd).run(new_pages)
+        inc = IncrementalDedup(spark, cfg, wd)
+        _, assignments_new, bridges, _ = inc.run(new_pages)
         assert bridges.count() == 1  # the bridge the incremental pass recorded
-        wd2 = str(tmp_path_factory.mktemp("compact_full"))
-        can, _ = DedupPipeline(spark, cfg, wd2, include_substring=False).run(
-            idx_pages.unionByName(new_pages), "compacted"
-        )
-        clusters = {tuple(sorted(r["member_urls"])) for r in can.collect()}
+        bridged = set(bridges.collect()[0]["bridged_clusters"])
+        inc.extend_index()
+
+        canonical, cluster_map, rep = inc.compact()
+        clusters = {tuple(sorted(r["member_urls"])) for r in canonical.collect()}
         merged = next((c for c in clusters if "https://c/bridge" in c), None)
         assert merged is not None and len(merged) == 5  # one merged cluster
+        # the map sends BOTH bridged old clusters to the same new id
+        m = {r["old_cluster_id"]: r["new_cluster_id"] for r in cluster_map.collect()}
+        assert len({m[c] for c in bridged}) == 1
+        assert rep["docs_reclustered"] == 5
+        # workdir is a resumable pipeline checkpoint again: manifests exist
+        # and a fresh IncrementalDedup accepts it and attaches another batch
+        assert os.path.exists(os.path.join(wd, "consolidate.manifest.json"))
+        inc2 = IncrementalDedup(spark, cfg, wd)
+        _, a2, b2, _ = inc2.run(
+            spark.createDataFrame([mk("https://c/a3", text_a)], PAGES_DDL)
+        )
+        rows2 = a2.collect()
+        assert len(rows2) == 1 and rows2[0]["attached"]
+        assert b2.count() == 0  # bridge resolved — no longer recorded
+
+
+class TestExtendAtomicity:
+    def test_crash_before_promote_rolls_back(self, spark, micro_corpus, tmp_path_factory):
+        """Journal present + table counts at the pre-extend state = a crash
+        before any rename: __init__ rolls back (removes staging + journal)
+        and proceeds."""
+        import json
+        import os
+
+        cfg = DedupConfig()
+        wd = str(tmp_path_factory.mktemp("atom_rb"))
+        pages = spark.createDataFrame(
+            [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang"))
+             for r in micro_corpus.rows[:10]],
+            PAGES_DDL,
+        )
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(pages, "t")
+        before = {
+            s: spark.read.parquet(os.path.join(wd, s)).count()
+            for s in ("ingest", "signatures", "cc")
+        }
+        with open(os.path.join(wd, "extend.journal.json"), "w") as f:
+            json.dump({"before": before,
+                       "expected": {s: n + 3 for s, n in before.items()}}, f)
+        os.makedirs(os.path.join(wd, "_extend_staging"), exist_ok=True)
+        IncrementalDedup(spark, cfg, wd)  # rolls back, no raise
+        assert not os.path.exists(os.path.join(wd, "extend.journal.json"))
+        assert not os.path.exists(os.path.join(wd, "_extend_staging"))
+
+    def test_crash_mid_promote_refuses(self, spark, micro_corpus, tmp_path_factory):
+        """Counts matching neither 'before' nor 'expected' = half-promoted
+        index: constructing IncrementalDedup fails LOUDLY."""
+        import json
+        import os
+
+        cfg = DedupConfig()
+        wd = str(tmp_path_factory.mktemp("atom_refuse"))
+        pages = spark.createDataFrame(
+            [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang"))
+             for r in micro_corpus.rows[:10]],
+            PAGES_DDL,
+        )
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(pages, "t")
+        actual = {
+            s: spark.read.parquet(os.path.join(wd, s)).count()
+            for s in ("ingest", "signatures", "cc")
+        }
+        with open(os.path.join(wd, "extend.journal.json"), "w") as f:
+            json.dump({"before": {s: n - 1 for s, n in actual.items()},
+                       "expected": {s: n + 5 for s, n in actual.items()}}, f)
+        with pytest.raises(RuntimeError, match="crashed extend_index"):
+            IncrementalDedup(spark, cfg, wd)
+
+    def test_crashed_compact_swap_refuses(self, spark, micro_corpus, tmp_path_factory):
+        import json
+        import os
+
+        cfg = DedupConfig()
+        wd = str(tmp_path_factory.mktemp("atom_compact"))
+        pages = spark.createDataFrame(
+            [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang"))
+             for r in micro_corpus.rows[:6]],
+            PAGES_DDL,
+        )
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(pages, "t")
+        with open(os.path.join(wd, "compact.journal.json"), "w") as f:
+            json.dump({"tmp": wd + "_compact_tmp"}, f)
+        with pytest.raises(RuntimeError, match="crashed compact"):
+            IncrementalDedup(spark, cfg, wd)
 
 
 def test_line_dedup_config_rejected_for_incremental(spark, tmp_path_factory):

@@ -236,7 +236,7 @@ class TestLineDedupStage:
                 ("https://recrawl.example/x", dt.datetime(2025, 6, 1),
                  None, "new version unique paragraph", "en"),
             ],
-            schema=pages.schema,
+            schema="url string, warc_ts timestamp, html binary, text string, lang string",
         )
         cfg = replace(DedupConfig(), line_dedup_min_docs=2)
         workdir = str(tmp_path_factory.mktemp("pipe_ld_dup"))

@@ -295,6 +295,40 @@ def main() -> int:
         p,
     )
 
+    # 19. url dedup pre-stage: canonicalization is ZERO-exchange row-local
+    # regexp work; the dedup itself is ONE aggregate shuffle (first-seen per
+    # canonical url) — no join, no sort, no second exchange
+    from deduplication_challenge_spark.operators.urlnorm import canonical_url, dedup_by_url
+
+    updf = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    p = plan_text(updf.select(canonical_url(F.col("url")).alias("u")))
+    p2 = plan_text(dedup_by_url(updf))
+    check(
+        "url_dedup_prestage",
+        "Exchange" not in p
+        # formatted plans list nodes twice (tree + details) -> <= 2 means
+        # ONE hashpartitioning exchange for the first-seen aggregate
+        and p2.count("Exchange") <= 2 and "Join" not in p2,
+        "zero-exchange canonicalization; single dedup aggregate, no join",
+        p + p2,
+    )
+
+    # 20. sequence packing: exactly ONE shuffle — the hashpartitioning on
+    # the bucket key that feeds the per-bucket greedy kernel — and the
+    # kernel is a single applyInPandas node, never a join or sort-merge
+    from deduplication_challenge_spark.operators.packing import pack_sequences
+
+    pk = spark.createDataFrame([], "doc_id long, n_tokens long")
+    p = plan_text(pack_sequences(pk, budget=512, n_buckets=16))
+    check(
+        "pack_sequences",
+        p.count("Exchange") <= 2 and "Join" not in p and "CartesianProduct" not in p,
+        "single bucket-key shuffle into the packing kernel",
+        p,
+    )
+
     spark.stop()
     return 1 if failures else 0
 

@@ -19,7 +19,7 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    src = ap.add_mutually_exclusive_group(required=True)
+    src = ap.add_mutually_exclusive_group()  # not required for --compact
     src.add_argument("--input", help="pages parquet path")
     src.add_argument(
         "--table",
@@ -51,7 +51,30 @@ def main() -> None:
         "workdir) instead of running the full pipeline; prints the delta "
         "report and writes canonical updates to --output",
     )
+    ap.add_argument(
+        "--extend-index", action="store_true",
+        help="with --incremental-index: grow the index with this batch after "
+        "the attach (staged + journaled promote), so the NEXT batch attaches "
+        "against everything seen so far",
+    )
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="with --incremental-index: ignore --input and run the periodic "
+        "full recluster over the extended index IN PLACE (resolves recorded "
+        "bridges, re-enables every full-run stage); writes the old->new "
+        "cluster map to --output",
+    )
+    ap.add_argument(
+        "--checkpoint-mode", choices=("local", "reliable"), default="local",
+        help="'reliable' switches the CC loop / anchor materialization to "
+        "setCheckpointDir-backed checkpoints (survives executor loss; set "
+        "--checkpoint-dir to an HDFS/object-store path on a cluster)",
+    )
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="reliable-checkpoint directory (cluster-visible)")
     args = ap.parse_args()
+    if not args.compact and not (args.input or args.table):
+        ap.error("--input or --table is required (except with --compact)")
 
     from dataclasses import replace
 
@@ -59,6 +82,27 @@ def main() -> None:
     from deduplication_challenge_spark.plans.pipeline import DedupPipeline
 
     spark = SparkSession.builder.appName("dedup-pipeline").getOrCreate()
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
+    cfg_common = dict(
+        line_dedup_min_docs=args.line_dedup_min_docs,
+        url_dedup=args.url_dedup,
+        checkpoint_mode=args.checkpoint_mode,
+    )
+    if args.compact:
+        if not args.incremental_index:
+            ap.error("--compact requires --incremental-index")
+        from deduplication_challenge_spark.plans.incremental import IncrementalDedup
+
+        inc = IncrementalDedup(
+            spark, replace(DedupConfig(), **cfg_common), args.incremental_index
+        )
+        _canonical, cluster_map, rep = inc.compact()
+        if args.output:
+            cluster_map.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"compact": rep}))
+        spark.stop()
+        return
     pages = (
         spark.read.table(args.table) if args.table else spark.read.parquet(args.input)
     )
@@ -66,17 +110,16 @@ def main() -> None:
         from deduplication_challenge_spark.plans.incremental import IncrementalDedup
 
         inc = IncrementalDedup(
-            spark,
-            replace(DedupConfig(), line_dedup_min_docs=args.line_dedup_min_docs,
-                    url_dedup=args.url_dedup),
-            args.incremental_index,
+            spark, replace(DedupConfig(), **cfg_common), args.incremental_index
         )
         updates, _assignments, _bridges, rep = inc.run(
             pages, recompute_text=not args.no_recompute_text
         )
         if args.output:
             updates.write.mode("overwrite").parquet(args.output)
-        print(json.dumps({"incremental": rep}))
+        if args.extend_index:
+            inc.extend_index()
+        print(json.dumps({"incremental": rep, "extended": args.extend_index}))
         spark.stop()
         return
     pipe = DedupPipeline(
