@@ -201,20 +201,24 @@ class IncrementalDedup:
         docs_new = docs_new.localCheckpoint(eager=False)
         sigs_new = compute_signatures(docs_new, cfg).localCheckpoint(eager=False)
 
-        sigs_old = self._index("signatures")
         assign_old = self._index("cc")  # (doc_id, cluster_id)
+        # a re-crawled url carries the SAME doc_id in the batch and the
+        # index with possibly different signatures; the NEW signature is the
+        # page's live content, so STALE index rows for re-crawled doc_ids
+        # are excluded from EVERY old-side table (bands, simhash chunks,
+        # verification union, anchors below) — otherwise a new doc could
+        # attach to a page based on content it no longer has (the simhash
+        # probe accepts directly on the old table, so filtering only the
+        # verification union would not be enough)
+        sigs_old = self._index("signatures").join(
+            sigs_new.select("doc_id"), "doc_id", "left_anti"
+        )
 
         bands_new = lsh.band_table(sigs_new)
         bands_old = lsh.band_table(sigs_old)
 
         cross = lsh_cross_candidates(bands_new, bands_old)
-        # a re-crawled url carries the SAME doc_id in both tables with
-        # possibly different signatures; prefer the NEW signature on conflict
-        # (anti-join the old side) so a cross pair can never pass Jaccard
-        # verification against stale content the page no longer has
-        sigs_union = sigs_new.unionByName(
-            sigs_old.join(sigs_new.select("doc_id"), "doc_id", "left_anti")
-        )
+        sigs_union = sigs_new.unionByName(sigs_old)
         cross_lsh = verify.verify_pairs(cross, sigs_union, cfg).select("src", "dst")
 
         from deduplication_challenge_spark.operators.simhash import simhash_chunk_table

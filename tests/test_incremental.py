@@ -482,6 +482,46 @@ def test_url_dedup_applies_batch_locally(spark, micro_corpus, tmp_path_factory):
     assert assignments_new.count() == 1
 
 
+def test_recrawl_verifies_against_new_content_not_stale_signature(
+    spark, tmp_path_factory
+):
+    """Advisor finding: a re-crawled url carries the SAME doc_id in the
+    batch and the index with possibly different signatures; verification
+    must use the NEW signature, or a new doc could attach to a page based
+    on content it no longer has."""
+    import datetime as dt
+
+    import numpy as np
+
+    cfg = DedupConfig()
+    rng = np.random.Generator(np.random.PCG64(13))
+    vocab = [f"v{i:03d}" for i in range(600)]
+    content_a = " ".join(vocab[int(rng.integers(600))] for _ in range(200))
+    content_b = " ".join(vocab[int(rng.integers(600))] for _ in range(200))
+    mk = lambda u, t, ts: (u, ts, None, t, "en")
+    t0 = dt.datetime(2025, 1, 1)
+    # index: page X with content A (alone in its cluster)
+    idx_pages = spark.createDataFrame([mk("https://r/x", content_a, t0)], PAGES_DDL)
+    wd = str(tmp_path_factory.mktemp("stale_sig"))
+    DedupPipeline(spark, cfg, wd, include_substring=False).run(idx_pages, "idx")
+    # batch: X re-crawled with WHOLLY different content B, plus new doc Y
+    # whose content is a near-dup of X's OLD content A
+    y_text = content_a + " tail marker"
+    batch = spark.createDataFrame(
+        [mk("https://r/x", content_b, t0 + dt.timedelta(days=30)),
+         mk("https://r/y", y_text, t0 + dt.timedelta(days=30))],
+        PAGES_DDL,
+    )
+    _, assignments_new, _, _ = IncrementalDedup(spark, cfg, wd).run(batch)
+    rows = {r["doc_id"]: r for r in assignments_new.collect()}
+    from deduplication_challenge_spark.oracle import xxhash64_str
+
+    y_row = rows[xxhash64_str("https://r/y")]
+    # Y must NOT attach to X's cluster: X's live content is B, and the
+    # stale A-signature is excluded from the verification union
+    assert not y_row["attached"], y_row
+
+
 def test_extend_index_never_duplicates_recrawled_doc_ids(spark, micro_corpus, tmp_path_factory):
     """Review finding: a re-crawled url (same doc_id) appended by
     extend_index would appear twice in the index tables and inflate later
