@@ -18,7 +18,7 @@ Pinned contract:
     is due, never a silent merge or a silent drop;
   * detection scope: MinHash-LSH bands + Jaccard verification, new-vs-new
     SimHash, AND — when the index carries the pipeline's persisted
-    ``anchors`` stage — the substring pass as a delta anchor equi-join
+    ``anchors`` table — the substring pass as a delta anchor equi-join
     (cross and new-new).  An index built without the global-scope substring
     pass runs without it, documented in ``report['scope']``, never silent;
   * ``compact()`` = the periodic full recluster: reruns the complete
@@ -75,7 +75,8 @@ def substring_cross_candidates(
     anchors_new: DataFrame, anchors_old: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
     """Delta substring pass: new-batch winnowed anchors equi-joined against
-    the index's persisted anchor table (the pipeline's 'anchors' stage).
+    the index's persisted anchor table ({workdir}/anchors, written by
+    the pipeline's candidates stage for the global-scope substring pass).
     Anchors are position- and batch-independent functions of each doc's own
     content (operators/suffixarray.anchor_table), so a verbatim run shared
     across batches yields identical anchor values — the cross pass is a
@@ -180,7 +181,8 @@ class IncrementalDedup:
 
     def _has_anchor_index(self) -> bool:
         """True when the index carries the persisted substring-anchor table
-        (pipeline 'anchors' stage — global-scope substring runs write it)."""
+        ({workdir}/anchors — global-scope substring runs persist it as a
+        candidates-stage side output)."""
         return os.path.exists(os.path.join(self.workdir, "anchors"))
 
     def run(self, new_pages: DataFrame, recompute_text: bool = True):
@@ -231,7 +233,7 @@ class IncrementalDedup:
         cross_parts = [cross_lsh, cross_sim]
 
         # substring delta: when the index carries the pipeline's persisted
-        # anchor table ('anchors' stage, global-scope substring pass), the
+        # anchor table ({workdir}/anchors, global-scope substring pass), the
         # new batch's anchors equi-join against it — the biggest former
         # scope cut of the incremental path.  Substring pairs are exact by
         # construction (same rule as the batch pipeline): no Jaccard verify.
@@ -348,7 +350,7 @@ class IncrementalDedup:
                 "via persisted anchor-table equi-join (cross + new-new)"
                 if substr_active
                 else "minhash-lsh+verify cross; lsh+simhash new-new; "
-                "substring pass OFF (index has no anchors stage — build the "
+                "substring pass OFF (index has no anchors table — build the "
                 "index with the global-scope substring pass, or compact())"
             ),
         }

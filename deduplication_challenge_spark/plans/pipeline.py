@@ -37,14 +37,17 @@ from deduplication_challenge_spark.operators.ingest import extract_pages
 from deduplication_challenge_spark.operators.signatures import compute_signatures
 
 STAGES = [
-    "urldedup", "ingest", "linededup", "signatures", "anchors",
+    "urldedup", "ingest", "linededup", "signatures",
     "candidates", "verify", "cc", "consolidate",
 ]
-# 'urldedup' runs only when cfg.url_dedup is True, 'linededup' only when
-# cfg.line_dedup_min_docs is set, and 'anchors' (the persisted winnowed
-# substring-anchor table — also the substring index the incremental delta
-# pass joins new batches against) only for the global-scope substring pass;
-# all other stages are unconditional
+# 'urldedup' runs only when cfg.url_dedup is True and 'linededup' only when
+# cfg.line_dedup_min_docs is set; all other stages are unconditional.  The
+# global-scope substring pass additionally persists its winnowed anchor
+# table to {workdir}/anchors as a SIDE OUTPUT of the candidates stage (the
+# substring index the incremental delta pass joins new batches against) —
+# written inside the stage from the same checkpointed frame the pair
+# derivation consumes, so persistence costs one parquet write, not a stage
+# boundary + read-back
 
 
 @dataclass
@@ -319,24 +322,12 @@ class DedupPipeline:
             lambda df, rows: {"signatures_emitted": rows},
         )
 
-        # global-scope substring pass: the winnowed anchor table is its own
-        # persisted stage — (a) the dominant kernel (hash+winnow the corpus)
-        # materializes exactly once and both its consumers (mins aggregate,
-        # probe join) read parquet; (b) the table IS the substring index the
-        # incremental delta pass (plans/incremental.py) equi-joins new
-        # batches against, closing the delta-scope gap
-        anchors_df = None
         use_global_substr = (
             self.include_substring
             and self.substring_partitions is None
             and cfg.substr_scope == "global"
         )
-        if use_global_substr:
-            anchors_df, fp = self._run_stage(
-                report, "anchors", fp, "docs",
-                lambda: suffixarray.anchor_table(docs, cfg),
-                lambda df, rows: {"anchors_emitted": rows},
-            )
+        anchors_path = self._stage_dir("anchors")
 
         # stats frames built alongside the edges (sharing the checkpointed
         # band/chunk tables) and collected in candidate_counters AFTER the
@@ -362,10 +353,35 @@ class DedupPipeline:
                 # kernels (tests pin co-location to compare against local
                 # goldens); otherwise cfg.substr_scope picks the pass
                 if use_global_substr:
-                    sub = suffixarray.substring_pairs_from_anchors(anchors_df, cfg)
+                    # the winnowed anchor table is PERSISTED as a side
+                    # output ({workdir}/anchors) — it is the substring index
+                    # the incremental delta pass equi-joins new batches
+                    # against.  It is written from the same checkpointed
+                    # frame the pair derivation reads, INSIDE this stage:
+                    # one kernel run, one parquet write, and the two pair
+                    # consumers (mins aggregate, probe join) serve from the
+                    # checkpoint — a separate anchors stage measured +12-18s
+                    # at 1M/local[8] (stage boundary + double parquet
+                    # read-back) and cost the N->4N efficiency ~0.05
+                    from deduplication_challenge_spark.plans.checkpointing import (
+                        stage_checkpoint,
+                    )
+
+                    anchors = stage_checkpoint(
+                        suffixarray.anchor_table(docs, cfg), cfg
+                    )
+                    anchors.write.mode("overwrite").parquet(anchors_path)
+                    sub = suffixarray.substring_pairs_from_anchors(anchors, cfg)
                 else:
                     sub = suffixarray.substring_pairs(docs, cfg, self.substring_partitions)
                 parts.append(sub.select("src", "dst", F.lit("substring").alias("origin")))
+            if not use_global_substr and os.path.exists(anchors_path):
+                # a previous run under a different config left an anchor
+                # table; it no longer matches this run's candidates — remove
+                # it so the incremental path can never join stale anchors
+                import shutil
+
+                shutil.rmtree(anchors_path)
             allp = parts[0]
             for p in parts[1:]:
                 allp = allp.unionByName(p)
@@ -386,12 +402,16 @@ class DedupPipeline:
             # regeneration.
             ls = stats_holder["lsh"].collect()[0].asDict()
             ss = stats_holder["simhash"].collect()[0].asDict()
-            return {
+            out = {
                 "pairs_candidates": rows,
                 **per_origin,
                 **{f"lsh_{k}": int(v or 0) for k, v in ls.items()},
                 **{f"simhash_{k}": int(v or 0) for k, v in ss.items()},
             }
+            if use_global_substr:
+                # parquet-metadata count of the persisted substring index
+                out["anchors_emitted"] = self.spark.read.parquet(anchors_path).count()
+            return out
 
         candidates, fp = self._run_stage(
             report, "candidates", fp,

@@ -257,7 +257,7 @@ class TestSubstringDelta:
         mk = lambda u, t: (u, dt.datetime(2025, 1, 1), None, t, "en")
         idx_pages = spark.createDataFrame([mk("https://s/a", text_a)], PAGES_DDL)
         wd = str(tmp_path_factory.mktemp("substr_idx"))
-        # default include_substring=True + global scope -> anchors stage
+        # default include_substring=True + global scope -> anchors table
         DedupPipeline(spark, cfg, wd).run(idx_pages, "idx")
         import os
 
