@@ -101,11 +101,11 @@ def hamming_pairs(signatures: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, D
     stats: (chunk_rows, chunk_keys, hot_keys, hot_rows) — sizes of the sorted
     tables and the hot-group split counters, recorded in the stage manifest.
     """
-    # lazy checkpoint: the chunk table feeds the hot-group counts aggregate,
-    # the salted window join, AND (via the returned stats frame) the manifest
-    # counters — one posexplode pass instead of three
-    chunk_tbl = simhash_chunk_table(signatures, cfg).localCheckpoint(eager=False)
-    chunks, stats = _salted_chunks(chunk_tbl, cfg)
+    # the chunk table is NOT materialized: like the band table it is a
+    # posexplode in codegen over narrow signature columns — its three
+    # consumers (hot-group counts, salted window join, stats frame) each
+    # recompute it cheaper than storing chunks-per-doc x corpus rows
+    chunks, stats = _salted_chunks(simhash_chunk_table(signatures, cfg), cfg)
     # one sorted run per (chunk permutation, chunk value[, hot-group salt]):
     # the window never needs to cross chunk values, so partitioning by the
     # tuple gives ~2^16 independent runs per permutation — massively

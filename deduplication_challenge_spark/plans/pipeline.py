@@ -340,9 +340,14 @@ class DedupPipeline:
             # have identical signatures, co-bucket in every LSH band, and
             # verify at estimated Jaccard 1.0, so LSH+verify provably covers
             # them (operators/exact.py stays as the cheap standalone path).
-            # Lazy checkpoint on bands: the edge join AND the stats
-            # aggregate both consume it — one band explode per run.
-            bands = lsh.band_table(sigs).localCheckpoint(eager=False)
+            # The band table is deliberately NOT materialized: it is a
+            # posexplode inside whole-stage codegen over the narrow
+            # signatures parquet — recomputing it for the stats aggregate
+            # is cheaper than storing a bands-per-doc-times-corpus exploded
+            # table (16 rows/doc = 16T rows at 10^12 docs; executor
+            # storage could never hold it, and at 1M the materialization
+            # measurably cost more than the second codegen pass).
+            bands = lsh.band_table(sigs)
             lsh_edges, stats_holder["lsh"] = lsh.candidate_pairs(bands, cfg)
             sim_edges, stats_holder["simhash"] = simhash.hamming_pairs(sigs, cfg)
             lsh_tagged = lsh_edges.select("src", "dst", F.lit("lsh").alias("origin"))

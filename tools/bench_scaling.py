@@ -123,26 +123,40 @@ def main() -> None:
 
     build_corpus()
     results: dict[int, list[dict]] = {lvl: [] for lvl in LEVELS}
-    for cpus in LEVELS:
-        for i in range(RUNS + 1):  # +1 warm-up
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-                capture_output=True, text=True, timeout=3600,
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            )
-            line = next(
-                (ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_RESULT ")),
-                None,
-            )
-            if line is None:
-                print(out.stdout[-2000:], file=sys.stderr)
-                print(out.stderr[-4000:], file=sys.stderr)
-                raise RuntimeError(f"worker failed (cpus={cpus}, run={i})")
-            r = json.loads(line[len("WORKER_RESULT "):])
-            tag = "warmup" if i == 0 else f"run{i}"
-            print(f"[{tag}] cpus={cpus} {r['seconds']}s {r['docs_per_sec']} docs/s", file=sys.stderr)
-            if i > 0:
-                results[cpus].append(r)
+    # INTERLEAVED schedule (warmup pair first, then lo,hi per round): the
+    # shared VM's external tenant load drifts on ~10-minute timescales, so
+    # running all lo-level runs then all hi-level runs lets a load ramp
+    # land entirely on one level and bias the ratio — interleaving exposes
+    # both levels to the same ambient profile.  Set SCALING_ORDER=blocked
+    # for the old sequential schedule.
+    if os.environ.get("SCALING_ORDER", "interleave") == "interleave":
+        schedule = [(c, 0) for c in LEVELS]  # warm-up pair
+        for i in range(1, RUNS + 1):
+            schedule += [(c, i) for c in LEVELS]
+    else:
+        schedule = [(c, i) for c in LEVELS for i in range(RUNS + 1)]
+    for cpus, i in schedule:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = next(
+            (ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_RESULT ")),
+            None,
+        )
+        if line is None:
+            print(out.stdout[-2000:], file=sys.stderr)
+            print(out.stderr[-4000:], file=sys.stderr)
+            raise RuntimeError(f"worker failed (cpus={cpus}, run={i})")
+        r = json.loads(line[len("WORKER_RESULT "):])
+        with open("/proc/loadavg") as f:
+            r["loadavg_after"] = f.read().split()[:3]
+        tag = "warmup" if i == 0 else f"run{i}"
+        print(f"[{tag}] cpus={cpus} {r['seconds']}s {r['docs_per_sec']} docs/s "
+              f"load={r['loadavg_after']}", file=sys.stderr)
+        if i > 0:
+            results[cpus].append(r)
 
     lo, hi = LEVELS
     med8 = statistics.median(r["seconds"] for r in results[lo])
