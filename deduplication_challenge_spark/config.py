@@ -153,8 +153,16 @@ class DedupConfig:
             )
 
     def config_hash(self) -> str:
-        """Stable hash stamped into stage manifests for resume validation."""
-        payload = json.dumps(asdict(self), sort_keys=True).encode("utf-8")
+        """Stable hash stamped into stage manifests for resume validation.
+
+        ``checkpoint_mode`` is EXCLUDED: it is a recovery knob with pinned
+        identical output, and hashing it would silently invalidate every
+        stage manifest when an operator resumes a crashed reliable-mode run
+        under the default mode (or retries a local run reliably) — hours of
+        completed stages rebuilt for a setting that cannot change a row."""
+        d = asdict(self)
+        d.pop("checkpoint_mode")
+        payload = json.dumps(d, sort_keys=True).encode("utf-8")
         return hashlib.sha256(payload).hexdigest()[:16]
 
 

@@ -51,11 +51,17 @@ _TOKEN_RE = re.compile(r"\S+")
 # charset (HTTP Content-Type, carried by sources/warc.py) > in-document
 # <meta charset> declaration > utf-8 with replacement.
 
-#: <meta charset="..."> / <meta http-equiv=Content-Type content="...charset=...">
-#: scanned in the first 1024 bytes (the WHATWG prescan window)
-_META_CHARSET_RE = re.compile(
-    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+#: <meta ...> tags scanned in the first 1024 bytes (the WHATWG prescan
+#: window).  Attributes are parsed individually (not one loose charset=
+#: regex) so a ``charset=`` inside an unrelated attribute VALUE — e.g.
+#: <meta name=description content="how to set charset=big5"> — can never
+#: hijack the declared encoding: only a real ``charset`` attribute, or a
+#: ``content="...charset=..."`` on an http-equiv=content-type meta, counts.
+_META_TAG_RE = re.compile(rb"<meta\s[^>]*>", re.IGNORECASE)
+_ATTR_RE = re.compile(
+    rb"""([a-zA-Z][a-zA-Z0-9_\-]*)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)"""
 )
+_CONTENT_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-]+)")
 _SNIFF_WINDOW = 1024
 
 _BOMS = (
@@ -68,28 +74,48 @@ _BOMS = (
 
 
 def _resolve_codec(name: str | None) -> str | None:
-    """Codec name -> canonical Python codec, or None when unknown/empty.
-    Unknown charsets (typos, exotic legacy names) fall back to the utf-8
-    default rather than failing the record — deterministic either way."""
+    """Codec name -> canonical Python TEXT codec, or None when unknown,
+    empty, or not a text encoding.  Unknown charsets (typos, exotic legacy
+    names) fall back to the utf-8 default rather than failing the record,
+    and bytes-to-bytes codecs Python happens to register (zlib, base64,
+    hex, bz2...) are REJECTED — ``b.decode('zlib')`` raises even with
+    errors='replace', and the extraction contract is a total function."""
     if not name:
         return None
     import codecs
 
     try:
-        return codecs.lookup(name.strip().strip("\"'")).name
+        info = codecs.lookup(name.strip().strip("\"'"))
     except (LookupError, ValueError):
         return None
+    if not getattr(info, "_is_text_encoding", True):
+        return None
+    return info.name
 
 
 def sniff_charset(data: bytes) -> str | None:
     """BOM or <meta charset> declaration -> codec name (None = no signal).
     The meta scan runs on the RAW bytes (before tag stripping — the tag
-    itself is the signal) over the first kilobyte only."""
+    itself is the signal) over the first kilobyte only, parsing each meta
+    tag's attributes so charset= inside an unrelated attribute value is
+    never honored (see _META_TAG_RE note)."""
     for bom, codec in _BOMS:
         if data[: len(bom)] == bom:
             return codec
-    m = _META_CHARSET_RE.search(data[:_SNIFF_WINDOW])
-    return _resolve_codec(m.group(1).decode("ascii", "replace")) if m else None
+    for tag in _META_TAG_RE.finditer(data[:_SNIFF_WINDOW]):
+        attrs = {
+            k.lower(): v.strip(b"\"'")
+            for k, v in _ATTR_RE.findall(tag.group(0))
+        }
+        declared = attrs.get(b"charset")
+        if declared is None and attrs.get(b"http-equiv", b"").lower() == b"content-type":
+            m = _CONTENT_CHARSET_RE.search(attrs.get(b"content", b""))
+            declared = m.group(1) if m else None
+        if declared:
+            codec = _resolve_codec(declared.decode("ascii", "replace"))
+            if codec:
+                return codec
+    return None
 
 
 def resolve_charset(data: bytes, charset_hint: str | None = None) -> str:

@@ -134,23 +134,60 @@ def connected_components(
     for a reliable checkpoint (plans/checkpointing.py): the fixpoint loop is
     the longest lineage in the engine, and on a real cluster an executor
     loss mid-loop must recover, not kill the query.  Identical output.
-    """
-    from deduplication_challenge_spark.plans.checkpointing import stage_checkpoint
 
+    Reliable-mode storage is GARBAGE-COLLECTED as the loop advances: each
+    iteration checkpoints into its own subdirectory and, once the new
+    checkpoint is materialized (eager), the superseded iteration's
+    directory is deleted through the Hadoop FS API — without this, a
+    50-iteration loop would hold ~50 full edge-set materializations on
+    HDFS for the life of the application.  Only the FINAL iteration's
+    directory survives the call (the returned DataFrame's plan reads it
+    lazily); it is bounded at one checkpoint per invocation.
+    """
+    from deduplication_challenge_spark.plans.checkpointing import (
+        ensure_checkpoint_dir,
+        fs_delete,
+        stage_checkpoint,
+    )
+
+    reliable = checkpoint_mode == "reliable"
+    spark = edges.sparkSession
+    prev_dir = None
+    if reliable:
+        import os
+        import uuid
+
+        base = ensure_checkpoint_dir(spark)
+        run_dir = os.path.join(base, f"cc_{uuid.uuid4().hex[:12]}")
+
+        def _set_iter_dir(i: int) -> str:
+            d = os.path.join(run_dir, f"iter_{i}")
+            spark.sparkContext.setCheckpointDir(d)
+            return d
+
+        prev_dir = _set_iter_dir(0)
     cur = stage_checkpoint(
         _local_contract(edges.where(F.col("src") != F.col("dst"))),
         checkpoint_mode,
         eager=True,
     )
     prev_sig = None
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
+        if reliable:
+            new_dir = _set_iter_dir(it + 1)
         cur = stage_checkpoint(_small_star(_large_star(cur)), checkpoint_mode, eager=True)
+        if reliable:
+            fs_delete(spark, prev_dir)  # superseded; cur no longer reads it
+            prev_dir = new_dir
         sig = _signature(cur)
         if sig == prev_sig:
             break
         prev_sig = sig
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+    if reliable:
+        # restore the session-level dir for later reliable checkpoints
+        spark.sparkContext.setCheckpointDir(base)
 
     # Fixpoint: every edge points node -> component min. Roots map to themselves.
     members = cur.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))

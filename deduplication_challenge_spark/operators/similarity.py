@@ -147,17 +147,9 @@ def cosine_near_dup_pairs_lsh(
     # single-table generator, so recall numbers are reproducible), one Arrow
     # pass computing every table's bucket, one equi-join on (table, bucket);
     # the matrix is derived from the batch width — no driver metadata job
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-
-    @F.pandas_udf("array<long>")
-    def buckets_udf(col: pd.Series) -> pd.Series:
-        if len(col) == 0:
-            return pd.Series([], dtype="object")
-        mat = np.vstack(col.to_numpy()).astype(np.float64)  # (n, dim)
-        planes = _planes_for(mat.shape[1], n_planes, n_tables, seed)
-        bits = (mat @ planes) > 0  # (n, T*P)
-        bk = bits.reshape(len(mat), n_tables, n_planes) @ weights  # (n, T)
-        return pd.Series(list(bk))
+    # SAME bucketing kernel as the top-k path (_table_buckets_udf) so the
+    # two paths can never drift for identical (n_planes, n_tables, seed)
+    buckets_udf = _table_buckets_udf(n_planes, n_tables, seed)
 
     # lazy checkpoint: b feeds BOTH sides of the candidate self-join —
     # without it every embedding crosses the Arrow boundary and pays the

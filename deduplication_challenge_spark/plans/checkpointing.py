@@ -51,3 +51,13 @@ def stage_checkpoint(df: DataFrame, cfg="local", eager: bool = False) -> DataFra
         ensure_checkpoint_dir(df.sparkSession)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def fs_delete(spark, path: str) -> None:
+    """Delete a path through the Hadoop FileSystem API — works for local
+    dirs AND HDFS/object-store checkpoint dirs on a real cluster (a plain
+    shutil.rmtree would only ever clean the driver's disk)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)

@@ -117,18 +117,6 @@ class IncrementalDedup:
     DedupPipeline workdir with the SAME config)."""
 
     def __init__(self, spark: SparkSession, cfg: DedupConfig, index_workdir: str) -> None:
-        if cfg.line_dedup_min_docs:
-            # line dedup is a CORPUS-WIDE document-frequency decision; a
-            # batch cannot recompute it consistently with the index (the
-            # index's signatures were taken over line-deduped text, the
-            # batch would approximate with batch-local frequencies and the
-            # signatures would disagree).  Loud beats approximate: run the
-            # stage at full-run compaction time instead.
-            raise ValueError(
-                "line_dedup_min_docs is a full-run (compaction) stage; "
-                "incremental attach over a line-deduped index would compute "
-                "inconsistent signatures — unset it for delta batches"
-            )
         self.spark = spark
         self.cfg = cfg
         self.workdir = index_workdir
@@ -192,6 +180,21 @@ class IncrementalDedup:
         cluster that gained members plus brand-new clusters — the delta to
         upsert over the previous canonical table."""
         cfg = self.cfg
+        if cfg.line_dedup_min_docs:
+            # line dedup is a CORPUS-WIDE document-frequency decision; a
+            # batch cannot recompute it consistently with the index (the
+            # index's signatures were taken over line-deduped text, the
+            # batch would approximate with batch-local frequencies and the
+            # signatures would disagree).  Loud beats approximate — but the
+            # guard lives HERE, on delta attach, not on construction:
+            # compact() IS the full-run path where the stage legitimately
+            # runs, and it must stay reachable for line-deduped corpora.
+            raise ValueError(
+                "line_dedup_min_docs is a full-run (compaction) stage; "
+                "incremental attach over a line-deduped index would compute "
+                "inconsistent signatures — unset it for delta batches, or "
+                "run compact() (which executes the full pipeline)"
+            )
         if cfg.url_dedup:
             # unlike line dedup, url dedup is batch-local-safe: it is
             # per-row canonicalization + within-input first-seen, and a url
@@ -249,10 +252,14 @@ class IncrementalDedup:
             self._anchors_new = anchors_new
             anchors_old = self._index("anchors")
             # a re-crawled url (same doc_id) may have stale anchors in the
-            # index: prefer the new batch's anchors on conflict, same rule
-            # as the signature union above
+            # index: exclude by the BATCH's doc ids (docs_new), NOT by
+            # anchors_new's — a re-crawl whose new text is shorter than
+            # substr_min_len has NO rows in anchors_new, and keying the
+            # anti-join on it would leave the deleted page's old anchors
+            # joinable (a new doc could attach to content the page no
+            # longer has — the same trap as the signature union above)
             anchors_old = anchors_old.join(
-                anchors_new.select("doc_id").distinct(), "doc_id", "left_anti"
+                docs_new.select("doc_id"), "doc_id", "left_anti"
             )
             cross_parts.append(substring_cross_candidates(anchors_new, anchors_old, cfg))
             nn_substr = substring_pairs_from_anchors(anchors_new, cfg)

@@ -43,7 +43,9 @@ PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang strin
 PAGES_CHARSET_DDL = PAGES_DDL + ", charset string"
 
 _CRLF = b"\r\n"
-_CHARSET_RE = re.compile(rb"charset\s*=\s*([^;\s\"']+)", re.IGNORECASE)
+#: quoted parameter values are legal HTTP (charset="shift_jis") — consume
+#: an optional opening quote so the token group never starts at the quote
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([^;\s\"']+)", re.IGNORECASE)
 
 
 def _gunzip_all(data: bytes) -> bytes:
@@ -188,8 +190,12 @@ def write_warc(rows: list[dict], gzip_members: bool = True) -> bytes:
         ctype = "text/html" + (
             f"; charset={r['charset']}" if r.get("charset") else ""
         )
+        # errors='replace': read_warc itself can surface U+FFFD in a
+        # malformed header's charset token — round-tripping such rows must
+        # not abort the writer
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode("ascii") + b"\r\n\r\n" + body
+            b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + ctype.encode("ascii", errors="replace") + b"\r\n\r\n" + body
         )
         ts = r.get("warc_ts")
         date = (

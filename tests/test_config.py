@@ -39,6 +39,20 @@ def test_config_hash_changes_with_knobs():
     assert DedupConfig().config_hash() != DedupConfig(substr_verify=True).config_hash()
 
 
+def test_checkpoint_mode_excluded_from_config_hash():
+    """Review finding: checkpoint_mode is a recovery knob with pinned
+    identical output — hashing it would invalidate every stage manifest
+    when a crashed reliable run resumes under the default mode."""
+    assert (
+        DedupConfig().config_hash()
+        == DedupConfig(checkpoint_mode="reliable").config_hash()
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint_mode"):
+        DedupConfig(checkpoint_mode="bogus")
+
+
 def test_line_dedup_min_docs_validated():
     from dataclasses import replace
 

@@ -444,14 +444,31 @@ class TestExtendAtomicity:
             IncrementalDedup(spark, cfg, wd)
 
 
-def test_line_dedup_config_rejected_for_incremental(spark, tmp_path_factory):
+def test_line_dedup_config_rejected_for_delta_but_not_compact(
+    spark, micro_corpus, tmp_path_factory
+):
     """line dedup is a corpus-wide df decision: a batch cannot recompute it
-    consistently with the index, so the combination fails LOUDLY."""
+    consistently with the index, so run() fails LOUDLY — but the guard must
+    NOT block construction: compact() is exactly the full-run path where
+    the stage legitimately executes (review finding: the old __init__-time
+    guard made compaction unreachable for line-deduped corpora)."""
     from dataclasses import replace
 
+    cfg = replace(DedupConfig(), line_dedup_min_docs=2)
     wd = str(tmp_path_factory.mktemp("inc_ld"))
+    pages = spark.createDataFrame(
+        [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang"))
+         for r in micro_corpus.rows[:6]],
+        PAGES_DDL,
+    )
+    DedupPipeline(spark, cfg, wd, include_substring=False).run(pages, "ld-idx")
+    inc = IncrementalDedup(spark, cfg, wd)  # construction must succeed
     with pytest.raises(ValueError, match="full-run .compaction. stage"):
-        IncrementalDedup(spark, replace(DedupConfig(), line_dedup_min_docs=2), wd)
+        inc.run(pages)
+    # compact() over the same line-deduped index runs the full pipeline
+    canonical, cluster_map, rep = inc.compact()
+    assert canonical.count() >= 1
+    assert "linededup" in rep["stages"]
 
 
 def test_url_dedup_applies_batch_locally(spark, micro_corpus, tmp_path_factory):
@@ -520,6 +537,49 @@ def test_recrawl_verifies_against_new_content_not_stale_signature(
     # Y must NOT attach to X's cluster: X's live content is B, and the
     # stale A-signature is excluded from the verification union
     assert not y_row["attached"], y_row
+
+
+def test_short_recrawl_excludes_stale_anchors(spark, tmp_path_factory):
+    """Review finding: the stale-anchor exclusion must key on the BATCH's
+    doc ids, not on anchors_new — a re-crawl whose new text is shorter than
+    substr_min_len emits NO anchors, and keying on anchors_new would leave
+    the deleted page's old anchors joinable."""
+    import datetime as dt
+
+    import numpy as np
+
+    cfg = DedupConfig()
+    rng = np.random.Generator(np.random.PCG64(17))
+    vocab = [f"s{i:03d}" for i in range(800)]
+
+    def prose(n):
+        return " ".join(vocab[int(rng.integers(800))] for _ in range(n))
+
+    shared = ("a verbatim shared run long enough to clear the winnowed "
+              "substring detection floor of one hundred eleven characters easily")
+    assert len(shared) >= 111
+    x_old = prose(150) + " " + shared + " " + prose(150)
+    y_text = prose(150) + " " + shared + " " + prose(150)
+    mk = lambda u, t, ts: (u, ts, None, t, "en")
+    t0 = dt.datetime(2025, 1, 1)
+    wd = str(tmp_path_factory.mktemp("stale_anchor"))
+    DedupPipeline(spark, cfg, wd).run(
+        spark.createDataFrame([mk("https://sa/x", x_old, t0)], PAGES_DDL), "idx"
+    )
+    import os
+
+    assert os.path.exists(os.path.join(wd, "anchors"))
+    # batch: X re-crawled as a near-empty page + Y sharing X's OLD run
+    batch = spark.createDataFrame(
+        [mk("https://sa/x", "page deleted", t0 + dt.timedelta(days=30)),
+         mk("https://sa/y", y_text, t0 + dt.timedelta(days=30))],
+        PAGES_DDL,
+    )
+    _, assignments_new, _, _ = IncrementalDedup(spark, cfg, wd).run(batch)
+    from deduplication_challenge_spark.oracle import xxhash64_str
+
+    rows = {r["doc_id"]: r for r in assignments_new.collect()}
+    assert not rows[xxhash64_str("https://sa/y")]["attached"]
 
 
 def test_extend_index_never_duplicates_recrawled_doc_ids(spark, micro_corpus, tmp_path_factory):

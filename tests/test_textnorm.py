@@ -104,6 +104,27 @@ class TestCharsetHandling:
         html = "<p>日本語テスト</p>".encode("shift-jis")
         assert extract_text(html, "Shift_JIS") == "日本語テスト"
 
+    def test_non_text_codecs_rejected_total_function(self):
+        """Review finding: Python registers bytes-to-bytes codecs (zlib,
+        base64, hex...) that codecs.lookup accepts but bytes.decode raises
+        on even with errors='replace' — a page declaring one must fall back
+        to utf-8, never crash the extraction UDF (total-function contract)."""
+        for bad in ("zlib", "base64", "hex", "bz2", "rot13"):
+            assert extract_text(f'<meta charset="{bad}"><p>ok</p>'.encode()) == "ok"
+            assert extract_text(b"<p>ok</p>", bad) == "ok"
+
+    def test_charset_inside_unrelated_attribute_ignored(self):
+        """Review finding: 'charset=' inside an unrelated attribute VALUE
+        (e.g. a description mentioning charsets) must not hijack decoding."""
+        html = ('<meta name="description" content="how to set charset=big5 in html">'
+                "<p>héllo wörld</p>").encode()
+        assert sniff_charset(html) is None
+        assert extract_text(html) == "héllo wörld"
+        # ...but the real http-equiv content declaration still counts
+        he = (b'<meta http-equiv="Content-Type" content="text/html; charset=latin-1">'
+              + "<p>naïve</p>".encode("latin-1"))
+        assert extract_text(he) == "naïve"
+
     def test_meta_scan_window_is_bounded(self):
         # a meta tag past the 1 KiB prescan window is ignored (WHATWG rule)
         pad = b"<!-- " + b"x" * 1100 + b" -->"

@@ -116,6 +116,30 @@ class TestCharsetRoundtrip:
         assert got["https://cs/utf16"] == "日本語のページ"
         assert got["https://cs/plain"] == "plain utf-8 é"
 
+    def test_quoted_header_charset_parsed(self):
+        """Review finding: quoted parameter values are legal HTTP
+        (charset="shift_jis") — the regex must not drop them."""
+        body = "<p>日本語テスト</p>".encode("shift-jis")
+        http = (b"HTTP/1.1 200 OK\r\n"
+                b'Content-Type: text/html; charset="shift_jis"\r\n\r\n' + body)
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://cs/q\r\n"
+               b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+               + f"Content-Length: {len(http)}\r\n".encode()
+               + b"\r\n" + http + b"\r\n\r\n")
+        pages = warc_bytes_to_pages(rec)
+        assert pages[0]["charset"] == "shift_jis"
+        from deduplication_challenge_spark.functions.textnorm import extract_text
+
+        assert extract_text(pages[0]["html"], pages[0]["charset"]) == "日本語テスト"
+
+    def test_write_warc_survives_mojibake_charset(self):
+        """Review finding: read_warc can surface U+FFFD in a malformed
+        header's charset token; round-tripping such a row must not abort."""
+        rows = [{"url": "https://cs/m", "html": b"<p>x</p>", "charset": "ut�8"}]
+        out = warc_bytes_to_pages(write_warc(rows))
+        assert out[0]["url"] == "https://cs/m"  # wrote + parsed back fine
+
     def test_extraction_invariant_covers_charset_branch(self):
         """pages-level invariant: text == extract_text(html, charset) for
         every record the reader emits, charset column included."""
