@@ -552,15 +552,18 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-3 (rows-only check: bucketing is hash-based,
-    not SQL-expressible).  Pinned multi-table config 5 planes x 12 tables:
-    0.80 top-3 recall at a 0.34 candidate fraction on sf0.01 (low-cosine
-    regime — see the operator's docstring); misses surface via
-    ann_topk_lsh_missed."""
+    not SQL-expressible).  Pinned multiprobe config 5 planes x 12 tables x
+    2 probes: 1.00 top-3 recall at a 0.69 candidate fraction on sf0.01
+    (0.80 / 0.34 before multiprobe — the low-cosine regime is documented in
+    the operator); misses surface via ann_topk_lsh_missed, the candidate
+    volume via ann_lsh_candidate_stats."""
     from deduplication_challenge_spark.operators.similarity import cosine_topk_lsh
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries_df = e.where(F.col("vec_id") < 10)
-    return cosine_topk_lsh(e, queries_df, k=3, n_planes=5, n_tables=12, seed=42)
+    return cosine_topk_lsh(
+        e, queries_df, k=3, n_planes=5, n_tables=12, seed=42, n_probes=2
+    )
 
 
 def q_ann_topk_lsh_missed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,13 +625,42 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed scale variant of embedding_near_dup_pairs (rows-only:
-    bucketing is hash-based, not SQL-expressible).  Recall vs the exact
-    query is gated in tests/test_similarity.py (0.86 deterministic at
-    sf0.01 with 4 planes x 12 tables)."""
+    bucketing is hash-based, not SQL-expressible).  Pinned multiprobe
+    config 5 planes x 12 tables x 1 probe: 0.978 recall of the exact
+    >= 0.35 pairs at sf0.01 (0.86 at 4x12 without probes), gated in
+    tests/test_similarity.py; candidate volume via ann_lsh_candidate_stats."""
     from deduplication_challenge_spark.operators.similarity import cosine_near_dup_pairs_lsh
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cosine_near_dup_pairs_lsh(e, threshold=0.35, n_planes=4, n_tables=12, seed=42)
+    return cosine_near_dup_pairs_lsh(
+        e, threshold=0.35, n_planes=5, n_tables=12, seed=42, n_probes=1
+    )
+
+
+def q_ann_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps audit for BOTH multiprobe LSH paths (rows-only: the
+    stats derive from hash bucketing): one row per path with the candidate
+    count, the brute-force possible count, and the candidate fraction — the
+    cost side of the recall the two `_missed` queries keep visible."""
+    from deduplication_challenge_spark.operators.similarity import (
+        cosine_near_dup_pairs_lsh,
+        cosine_topk_lsh,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, topk_stats = cosine_topk_lsh(
+        e, e.where(F.col("vec_id") < 10), k=3,
+        n_planes=5, n_tables=12, seed=42, n_probes=2, with_stats=True,
+    )
+    _, pair_stats = cosine_near_dup_pairs_lsh(
+        e, threshold=0.35, n_planes=5, n_tables=12, seed=42, n_probes=1,
+        with_stats=True,
+    )
+    return (
+        topk_stats.select(F.lit("topk").alias("path"), "*")
+        .unionByName(pair_stats.select(F.lit("pairs").alias("path"), "*"))
+        .orderBy("path")
+    )
 
 
 def q_embedding_lsh_missed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,6 +943,7 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_lsh_missed": q_ann_topk_lsh_missed,
+    "ann_lsh_candidate_stats": q_ann_lsh_candidate_stats,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_near_dup_pairs_lsh": q_embedding_near_dup_pairs_lsh,
     "embedding_lsh_missed_pairs": q_embedding_lsh_missed_pairs,

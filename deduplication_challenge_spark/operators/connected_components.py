@@ -166,28 +166,45 @@ def connected_components(
             return d
 
         prev_dir = _set_iter_dir(0)
-    cur = stage_checkpoint(
-        _local_contract(edges.where(F.col("src") != F.col("dst"))),
-        checkpoint_mode,
-        eager=True,
-    )
-    prev_sig = None
-    for it in range(max_iterations):
+    # try/finally: the non-convergence RuntimeError (or any mid-loop Spark
+    # failure) must still restore the SESSION-level checkpoint dir — without
+    # this, later reliable checkpoints in the same session would nest under
+    # a stale per-iteration subdir and orphaned iteration dirs would leak
+    try:
+        cur = stage_checkpoint(
+            _local_contract(edges.where(F.col("src") != F.col("dst"))),
+            checkpoint_mode,
+            eager=True,
+        )
+        prev_sig = None
+        for it in range(max_iterations):
+            if reliable:
+                new_dir = _set_iter_dir(it + 1)
+            cur = stage_checkpoint(_small_star(_large_star(cur)), checkpoint_mode, eager=True)
+            if reliable:
+                fs_delete(spark, prev_dir)  # superseded; cur no longer reads it
+                prev_dir = new_dir
+            sig = _signature(cur)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} iterations"
+            )
+    except BaseException:
         if reliable:
-            new_dir = _set_iter_dir(it + 1)
-        cur = stage_checkpoint(_small_star(_large_star(cur)), checkpoint_mode, eager=True)
+            # the failed run's checkpoints are garbage — delete the whole
+            # per-invocation dir so a retried loop never accumulates orphans
+            try:
+                fs_delete(spark, run_dir)
+            except Exception:
+                pass  # best-effort GC; the restore below must still happen
+        raise
+    finally:
         if reliable:
-            fs_delete(spark, prev_dir)  # superseded; cur no longer reads it
-            prev_dir = new_dir
-        sig = _signature(cur)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
-    if reliable:
-        # restore the session-level dir for later reliable checkpoints
-        spark.sparkContext.setCheckpointDir(base)
+            # restore the session-level dir for later reliable checkpoints
+            spark.sparkContext.setCheckpointDir(base)
 
     # Fixpoint: every edge points node -> component min. Roots map to themselves.
     members = cur.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))

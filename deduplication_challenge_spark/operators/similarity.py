@@ -124,7 +124,9 @@ def cosine_near_dup_pairs_lsh(
     n_planes: int = 4,
     n_tables: int = 12,
     seed: int = 42,
-) -> DataFrame:
+    n_probes: int = 0,
+    with_stats: bool = False,
+):
     """Bucketed embedding near-dup pairs: candidates are pairs sharing a
     hyperplane bucket in ANY of ``n_tables`` seeded tables (OR of ANDs);
     exact cosine verification keeps pairs >= threshold.  Output schema and
@@ -141,7 +143,19 @@ def cosine_near_dup_pairs_lsh(
     candidate fraction stays large; use the brute-force baseline there, or
     raise the threshold.  Candidate generation is id-pairs only — embeddings
     join back AFTER cross-table dedup, so vectors never ride through the
-    union/distinct shuffle."""
+    union/distinct shuffle.
+
+    ``n_probes`` adds multiprobe recall (same kernel as cosine_topk_lsh):
+    each vector ADDITIONALLY probes the buckets reached by flipping its
+    lowest-margin plane bits, and a pair is a candidate when either member's
+    probe set hits the other's BASE bucket — probing widens the join's probe
+    side only, the stored (base) side stays one row per (vec, table).  The
+    pinned driver config (5 planes x 12 tables, 1 probe) measures 0.978
+    recall of the exact >= 0.35 pairs at sf0.01 (0.86 at 4x12 without
+    probes); embedding_lsh_missed_pairs keeps it driver-visible.
+
+    ``with_stats=True`` -> (result, stats_df): one row (n_candidates,
+    n_possible, candidate_fraction) over the deduped candidate id-pairs."""
     emb = embeddings.select("vec_id", "embedding")
     # one plane matrix for ALL tables (identical per-table seeds to the
     # single-table generator, so recall numbers are reproducible), one Arrow
@@ -149,21 +163,38 @@ def cosine_near_dup_pairs_lsh(
     # the matrix is derived from the batch width — no driver metadata job
     # SAME bucketing kernel as the top-k path (_table_buckets_udf) so the
     # two paths can never drift for identical (n_planes, n_tables, seed)
-    buckets_udf = _table_buckets_udf(n_planes, n_tables, seed)
+    buckets_udf = _table_buckets_udf(n_planes, n_tables, seed, n_probes)
 
     # lazy checkpoint: b feeds BOTH sides of the candidate self-join —
     # without it every embedding crosses the Arrow boundary and pays the
-    # (n, dim) @ (dim, T*P) matmul twice
+    # (n, dim) @ (dim, T*P) matmul twice.  ONE Arrow pass emits base AND
+    # probe buckets (base first per table); the base side of the join is a
+    # filter on the same checkpointed frame, not a second UDF run.
     b = emb.select(
-        "vec_id", F.posexplode(buckets_udf("embedding")).alias("tbl", "bucket")
+        "vec_id", F.posexplode(buckets_udf("embedding")).alias("pos", "bucket")
+    ).select(
+        "vec_id",
+        (F.col("pos") / (1 + n_probes)).cast("int").alias("tbl"),
+        (F.col("pos") % (1 + n_probes) == 0).alias("is_base"),
+        "bucket",
     ).localCheckpoint(eager=False)
+    probe_side = b.select("tbl", "bucket", F.col("vec_id").alias("vec_id_a"))
+    base_side = b.where("is_base").select(
+        "tbl", "bucket", F.col("vec_id").alias("vec_id_b")
+    )
     cand = (
-        b.select("tbl", "bucket", F.col("vec_id").alias("vec_id_a"))
-        .join(b.select("tbl", "bucket", F.col("vec_id").alias("vec_id_b")), ["tbl", "bucket"])
-        .where(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b")
+        probe_side.join(base_side, ["tbl", "bucket"])
+        # probe-vs-base is asymmetric per row; canonicalize so either
+        # direction of a hit yields the same (a < b) pair
+        .where(F.col("vec_id_a") != F.col("vec_id_b"))
+        .select(
+            F.least("vec_id_a", "vec_id_b").alias("vec_id_a"),
+            F.greatest("vec_id_a", "vec_id_b").alias("vec_id_b"),
+        )
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
+    if with_stats:
+        cand = cand.localCheckpoint(eager=False)
     a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
     b2 = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
 
@@ -181,7 +212,7 @@ def cosine_near_dup_pairs_lsh(
         )
         return pd.Series(s)
 
-    return (
+    result = (
         cand.join(a, "vec_id_a")
         .join(b2, "vec_id_b")
         .withColumn("cosine", F.round(cos_udf("emb_a", "emb_b"), 6))
@@ -192,12 +223,39 @@ def cosine_near_dup_pairs_lsh(
         .where((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
         .select("vec_id_a", "vec_id_b", "cosine")
     )
+    if not with_stats:
+        return result
+    stats = (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(emb.agg(F.count("*").alias("_n")))
+        .select(
+            "n_candidates",
+            (F.col("_n") * (F.col("_n") - 1) / 2).cast("long").alias("n_possible"),
+            F.round(
+                F.col("n_candidates") / (F.col("_n") * (F.col("_n") - 1) / 2), 4
+            ).alias("candidate_fraction"),
+        )
+    )
+    return result, stats
 
 
-def _table_buckets_udf(n_planes: int, n_tables: int, seed: int):
+def _table_buckets_udf(n_planes: int, n_tables: int, seed: int, n_probes: int = 0):
     """array<long> pandas UDF: every table's hyperplane bucket per row —
-    one Arrow pass, one (n, dim) @ (dim, T*P) matmul (shared with the pair
-    path's bucketing; planes derived from the batch width, no metadata job)."""
+    one Arrow pass, one (n, dim) @ (dim, T*P) matmul (shared between the
+    pair and top-k paths; planes derived from the batch width, no metadata
+    job).
+
+    ``n_probes > 0`` adds MULTIPROBE buckets (Lv et al., VLDB'07, applied
+    to sign-bit hyperplane LSH): per table, the p-th probe flips the plane
+    bit with the p-th SMALLEST dot-product magnitude — the bits most likely
+    to differ for a true near neighbor sitting close to a hyperplane.  The
+    output is table-major, ``1 + n_probes`` entries per table
+    (``tbl = pos // (1 + n_probes)`` after posexplode), base bucket first.
+    Probing multiplies query-side bucket rows, never the stored index."""
+    if not (0 <= n_probes < n_planes):
+        raise ValueError(
+            f"n_probes must be in 0..n_planes-1 ({n_planes - 1}), got {n_probes}"
+        )
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @F.pandas_udf("array<long>")
@@ -206,9 +264,19 @@ def _table_buckets_udf(n_planes: int, n_tables: int, seed: int):
             return pd.Series([], dtype="object")
         mat = np.vstack(col.to_numpy()).astype(np.float64)
         planes = _planes_for(mat.shape[1], n_planes, n_tables, seed)
-        bits = (mat @ planes) > 0
+        scores = mat @ planes
+        bits = scores > 0
         bk = bits.reshape(len(mat), n_tables, n_planes) @ weights
-        return pd.Series(list(bk))
+        if n_probes == 0:
+            return pd.Series(list(bk))
+        marg = np.abs(scores).reshape(len(mat), n_tables, n_planes)
+        order = np.argsort(marg, axis=2)
+        probed = np.stack(
+            [bk]
+            + [bk ^ (1 << order[:, :, p]).astype(np.int64) for p in range(n_probes)],
+            axis=2,
+        )  # (n, T, 1+n_probes), base first
+        return pd.Series(list(probed.reshape(len(mat), n_tables * (1 + n_probes))))
 
     return buckets_udf
 
@@ -220,17 +288,31 @@ def cosine_topk_lsh(
     n_planes: int = 16,
     seed: int = 42,
     n_tables: int = 1,
-) -> DataFrame:
-    """ANN top-k: candidates = rows sharing the query's hyperplane bucket in
-    ANY of ``n_tables`` seeded tables (OR of ANDs — the same multi-table
-    scheme as cosine_near_dup_pairs_lsh), exact cosine re-rank inside.
-    Recall < 1 by construction (documented approximation): per-table
-    collision probability for angle theta is (1-theta/pi)^n_planes, so few
-    planes + many tables trade candidate volume for recall.  The pinned
-    driver config (5 planes x 12 tables) measures 0.80 top-3 recall at a
-    0.34 candidate fraction on the sf0.01 embeddings — the
-    ann_topk_lsh_missed query keeps that number driver-visible."""
-    buckets_udf = _table_buckets_udf(n_planes, n_tables, seed)
+    n_probes: int = 0,
+    with_stats: bool = False,
+):
+    """ANN top-k: candidates = rows sharing any of the query's (multi-)probe
+    hyperplane buckets in ANY of ``n_tables`` seeded tables (OR of ANDs —
+    the same multi-table scheme as cosine_near_dup_pairs_lsh), exact cosine
+    re-rank inside.
+
+    ``n_probes`` flips the query's lowest-margin plane bits (one at a time)
+    per table — the multiprobe recall lever: extra buckets are probed on the
+    QUERY side only, so the stored index never grows and the candidate set
+    scales with n_probes, not with another table's full build.  Recall < 1
+    by construction (documented approximation): per-table collision
+    probability for angle theta is (1-theta/pi)^n_planes.  The pinned driver
+    config (5 planes x 12 tables, 2 probes) measures 1.00 top-3 recall at a
+    0.69 candidate fraction on the sf0.01 embeddings (0.80 / 0.34 without
+    probes — the 0.35-threshold regime is documented as LSH-hostile; the
+    fraction shrinks as the corpus outgrows the neighborhood radius) — the
+    ann_topk_lsh_missed query keeps the recall driver-visible.
+
+    ``with_stats=True`` -> (result, stats_df) where stats_df is one row
+    (n_candidates, n_possible, candidate_fraction) — the no-silent-caps
+    surface for the probe/recall trade."""
+    base_udf = _table_buckets_udf(n_planes, n_tables, seed)
+    probe_udf = _table_buckets_udf(n_planes, n_tables, seed, n_probes)
     # norms and buckets computed ONCE per input row (project), THEN exploded
     # — a single-select generator would re-evaluate the O(dim) expressions
     # per generated table row
@@ -238,7 +320,7 @@ def cosine_topk_lsh(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("e_norm"),
-        buckets_udf("embedding").alias("_bks"),
+        base_udf("embedding").alias("_bks"),
     ).select(
         "vec_id", "embedding", "e_norm", F.posexplode("_bks").alias("tbl", "bucket")
     )
@@ -246,21 +328,49 @@ def cosine_topk_lsh(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
-        buckets_udf("embedding").alias("_bks"),
+        probe_udf("embedding").alias("_bks"),
     ).select(
-        "query_id", "q_emb", "q_norm", F.posexplode("_bks").alias("tbl", "bucket")
+        "query_id",
+        "q_emb",
+        "q_norm",
+        F.posexplode("_bks").alias("pos", "bucket"),
+    ).select(
+        "query_id",
+        "q_emb",
+        "q_norm",
+        (F.col("pos") / (1 + n_probes)).cast("int").alias("tbl"),
+        "bucket",
     )
     joined = (
         emb_b.join(F.broadcast(q_b), ["tbl", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
-        # a pair co-bucketing in several tables must be scored once
+        # a pair co-bucketing in several tables/probes must be scored once
         .dropDuplicates(["query_id", "vec_id"])
     )
+    if with_stats:
+        # the candidate subtree feeds the re-rank AND the stats aggregate —
+        # share one materialization instead of bucketing twice
+        joined = joined.localCheckpoint(eager=False)
     sim = _dot(F.col("embedding"), F.col("q_emb")) / (F.col("e_norm") * F.col("q_norm"))
     scored = joined.select("query_id", "vec_id", F.round(sim, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+    if not with_stats:
+        return result
+    stats = (
+        joined.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(embeddings.agg(F.count("*").alias("_n")))
+        .crossJoin(queries.agg(F.count("*").alias("_q")))
+        .select(
+            "n_candidates",
+            (F.col("_n") * F.col("_q")).alias("n_possible"),
+            F.round(F.col("n_candidates") / (F.col("_n") * F.col("_q")), 4).alias(
+                "candidate_fraction"
+            ),
+        )
+    )
+    return result, stats

@@ -53,11 +53,93 @@ def stage_checkpoint(df: DataFrame, cfg="local", eager: bool = False) -> DataFra
     return df.localCheckpoint(eager=eager)
 
 
+def _fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — resolves the
+    scheme (none/file/hdfs/s3a/...) exactly as Spark's own writers do, so
+    driver-side metadata operations (journals, manifest files, staged
+    promotes) work against the SAME store the stage tables live on."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def fs_delete(spark, path: str) -> None:
     """Delete a path through the Hadoop FileSystem API — works for local
     dirs AND HDFS/object-store checkpoint dirs on a real cluster (a plain
     shutil.rmtree would only ever clean the driver's disk)."""
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs, hpath = _fs(spark, path)
     fs.delete(hpath, True)
+
+
+def fs_exists(spark, path: str) -> bool:
+    fs, hpath = _fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def fs_mkdirs(spark, path: str) -> None:
+    fs, hpath = _fs(spark, path)
+    fs.mkdirs(hpath)
+
+
+def fs_rename(spark, src: str, dst: str) -> None:
+    """Rename through the Hadoop FS API; raises on failure (Hadoop's rename
+    returns False instead of throwing for most failure modes — a silent
+    False mid-promote would corrupt the index, so it is raised loudly)."""
+    fs, hsrc = _fs(spark, src)
+    _, hdst = _fs(spark, dst)
+    if not fs.rename(hsrc, hdst):
+        raise IOError(f"Hadoop FS rename failed: {src} -> {dst}")
+
+
+def fs_listdir(spark, path: str) -> list[tuple[str, int, bool]]:
+    """Children of ``path`` as (basename, bytes, is_dir), sorted by name."""
+    fs, hpath = _fs(spark, path)
+    out = []
+    for st in fs.listStatus(hpath):
+        p = st.getPath()
+        out.append((p.getName(), int(st.getLen()), bool(st.isDirectory())))
+    return sorted(out)
+
+
+def fs_read_text(spark, path: str) -> str:
+    """Read a small text file (journal / manifest) through the Hadoop FS."""
+    fs, hpath = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(hpath)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file (journal / manifest) through the Hadoop FS
+    (create-overwrite; object stores make this a single PUT)."""
+    fs, hpath = _fs(spark, path)
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def fs_local_path(spark, path: str) -> "str | None":
+    """The os-level path when ``path`` resolves to the LOCAL filesystem
+    (scheme-less or ``file:``), else None — the switch for optimizations
+    that need a real POSIX path (e.g. pyarrow parquet-footer reads for
+    per-partition lineage; on a remote store the lineage records names and
+    byte sizes from listStatus instead)."""
+    fs, hpath = _fs(spark, path)
+    scheme = fs.getUri().getScheme()
+    if scheme in (None, "file"):
+        return hpath.toUri().getPath()
+    return None

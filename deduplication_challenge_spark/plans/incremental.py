@@ -37,13 +37,22 @@ table).
 
 from __future__ import annotations
 
-import os
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deduplication_challenge_spark.config import DedupConfig
 from deduplication_challenge_spark.operators import lsh, simhash, verify
+from deduplication_challenge_spark.plans.checkpointing import (
+    fs_delete,
+    fs_exists,
+    fs_listdir,
+    fs_read_text,
+    fs_rename,
+    fs_write_text,
+    stage_checkpoint,
+)
 from deduplication_challenge_spark.operators.connected_components import (
     connected_components,
 )
@@ -53,6 +62,50 @@ from deduplication_challenge_spark.operators.consolidate import (
 )
 from deduplication_challenge_spark.operators.ingest import extract_pages
 from deduplication_challenge_spark.operators.signatures import compute_signatures
+
+
+def _j(*parts: str) -> str:
+    """Join path segments with '/' — scheme-preserving (os.path.join would
+    mangle 'hdfs://…' and 'file:/…' workdirs; every filesystem Spark writes
+    to uses '/' separators)."""
+    return "/".join([parts[0].rstrip("/"), *parts[1:]])
+
+
+#: core stage tables whose row counts journal the compact swap (parquet
+#: metadata counts — no data scan)
+_SWAP_COUNT_STAGES = ("ingest", "signatures", "cc")
+
+
+def _apply_compact_swap(spark: SparkSession, workdir: str, j: dict) -> None:
+    """Execute (or RE-execute after a crash) the in-place compact swap
+    described by journal ``j`` = {tmp, children, expected}.  Idempotent at
+    every crash point: each child is moved by one atomic rename, so a child
+    lives in exactly one of tmp/workdir at all times — re-running deletes
+    remaining stale entries, moves whatever is still in tmp, and accepts
+    children already moved."""
+    keep = set(j["children"]) | {"compact.journal.json"}
+    for name, _, _ in fs_listdir(spark, workdir):
+        # hidden '.…crc' checksum sidecars follow their main file through
+        # Hadoop delete/rename — never handled (or deleted) independently
+        if name not in keep and not name.startswith("."):
+            fs_delete(spark, _j(workdir, name))
+    tmp = j["tmp"]
+    for name in j["children"]:
+        src, dst = _j(tmp, name), _j(workdir, name)
+        if fs_exists(spark, src):
+            # stale same-named entry (old stage table) still present: the
+            # journaled child supersedes it
+            if fs_exists(spark, dst):
+                fs_delete(spark, dst)
+            fs_rename(spark, src, dst)
+        elif not fs_exists(spark, dst):
+            raise RuntimeError(
+                f"compact swap: journaled entry {name!r} exists in neither "
+                f"{tmp} nor {workdir} — the compacted run is damaged; rerun "
+                "compact() after removing compact.journal.json and the tmp dir"
+            )
+    if fs_exists(spark, tmp):
+        fs_delete(spark, tmp)
 
 
 def lsh_cross_candidates(bands_new: DataFrame, bands_old: DataFrame) -> DataFrame:
@@ -120,15 +173,41 @@ class IncrementalDedup:
         self.spark = spark
         self.cfg = cfg
         self.workdir = index_workdir
-        if os.path.exists(os.path.join(index_workdir, "compact.journal.json")):
-            raise RuntimeError(
-                f"index at {index_workdir} has a crashed compact() swap — "
-                "its stage tables may be half-replaced; rerun compact() on a "
-                "fresh IncrementalDedup over the _compact_tmp sibling, or "
-                "rebuild with a full DedupPipeline run"
-            )
+        # every driver-side filesystem operation on the index goes through
+        # the Hadoop FS API (plans/checkpointing.py) so the SAME code path
+        # serves a driver-local dir, a file:-scheme URI, HDFS and object
+        # stores — on a real cluster the index lives where the stage tables
+        # were written, never on the driver's disk.
+        cj = _j(index_workdir, "compact.journal.json")
+        if fs_exists(spark, cj):
+            # a compact() swap crashed mid-flight.  The swap is journaled
+            # with its full child list and expected stage counts and each
+            # child moves by one atomic rename, so it is RE-RUNNABLE from
+            # any crash point: finish it, verify counts, clear the journal.
+            try:
+                j = json.loads(fs_read_text(spark, cj))
+            except (json.JSONDecodeError, OSError):
+                j = {}
+            if not all(k in j for k in ("tmp", "children", "expected")):
+                raise RuntimeError(
+                    f"index at {index_workdir} has a crashed compact() swap "
+                    "with an unreadable/legacy journal — the swap cannot be "
+                    "replayed; rebuild the index with a full DedupPipeline "
+                    "run (or rerun compact() over the _compact_tmp sibling "
+                    "if it is intact) after removing compact.journal.json"
+                )
+            _apply_compact_swap(spark, index_workdir, j)
+            actual = {s: self._table_count(s) for s in j["expected"]}
+            if actual != j["expected"]:
+                raise RuntimeError(
+                    f"index at {index_workdir}: compact-swap recovery "
+                    f"completed but stage counts {actual} != journaled "
+                    f"{j['expected']} — the compacted tables are damaged; "
+                    "rebuild with a full DedupPipeline run"
+                )
+            fs_delete(spark, cj)
         for stage in ("ingest", "signatures", "cc"):
-            if not os.path.exists(os.path.join(index_workdir, stage)):
+            if not fs_exists(spark, _j(index_workdir, stage)):
                 raise FileNotFoundError(
                     f"index workdir is missing the '{stage}' stage table: "
                     f"{index_workdir} (run DedupPipeline first)"
@@ -139,22 +218,23 @@ class IncrementalDedup:
         # promote completed and only the journal unlink was lost — clean up
         # and proceed; mismatched = the stage tables DISAGREE and silently
         # attaching against them would corrupt cluster membership — refuse.
-        journal = os.path.join(index_workdir, "extend.journal.json")
-        if os.path.exists(journal):
-            import json
-            import shutil
-
-            with open(journal) as f:
-                j = json.load(f)
+        journal = _j(index_workdir, "extend.journal.json")
+        staging = _j(index_workdir, "_extend_staging")
+        if fs_exists(spark, journal):
+            j = json.loads(fs_read_text(spark, journal))
             actual = {s: self._table_count(s) for s in j["expected"]}
             if actual == j["expected"]:
-                # promote completed; only the journal unlink was lost
-                os.remove(journal)
+                # promote completed; only the cleanup tail was lost — the
+                # staging dir (all its part files were renamed away, but the
+                # dir itself plus _SUCCESS markers survive) goes too
+                if fs_exists(spark, staging):
+                    fs_delete(spark, staging)
+                fs_delete(spark, journal)
             elif actual == j["before"]:
                 # crash before any rename — tables untouched; roll back
-                shutil.rmtree(os.path.join(index_workdir, "_extend_staging"),
-                              ignore_errors=True)
-                os.remove(journal)
+                if fs_exists(spark, staging):
+                    fs_delete(spark, staging)
+                fs_delete(spark, journal)
             else:
                 raise RuntimeError(
                     f"index at {index_workdir} has a crashed extend_index mid-"
@@ -163,15 +243,90 @@ class IncrementalDedup:
                     "state — the stage tables are inconsistent; rebuild the "
                     "index with compact() or a fresh DedupPipeline run"
                 )
+        self._validate_index_config()
+
+    def _meta_path(self) -> str:
+        return _j(self.workdir, "index.meta.json")
+
+    def _read_meta(self) -> dict:
+        if fs_exists(self.spark, self._meta_path()):
+            return json.loads(fs_read_text(self.spark, self._meta_path()))
+        return {}
+
+    def _write_meta(self, meta: dict) -> None:
+        fs_write_text(self.spark, self._meta_path(), json.dumps(meta, indent=2))
+
+    def _validate_index_config(self) -> None:
+        """Refuse an index whose stage tables were built under a DIFFERENT
+        config than ``self.cfg`` — attaching against them would compute
+        incompatible signatures and silently corrupt cluster membership.
+
+        Sources of truth, in precedence order:
+          * ``index.meta.json`` — written by extend_index()/compact(), the
+            authority once the index has been extended (extension deletes
+            the pipeline manifests deliberately);
+          * else any surviving stage manifest's ``config_hash``.
+        ``config_hash`` excludes checkpoint_mode (recovery knob), so
+        resuming under a different mode stays legal.
+
+        Additionally: a persisted ``anchors`` table is only trustworthy if
+        its writer is known — either the index is extension-managed (meta
+        file present) or the candidates-stage manifest that wrote it
+        survives with a matching config_hash.  A pipeline re-run that
+        crashed after overwriting anchors but before rebuilding cc leaves
+        anchors inconsistent with the rest of the index, and the delta
+        substring join must never silently use them."""
+        spark, workdir = self.spark, self.workdir
+        want = self.cfg.config_hash()
+        meta = self._read_meta()
+        got, src = None, None
+        if meta.get("config_hash"):
+            got, src = meta["config_hash"], "index.meta.json"
+        else:
+            for stage in ("cc", "consolidate", "candidates", "signatures", "ingest"):
+                mp = _j(workdir, f"{stage}.manifest.json")
+                if not fs_exists(spark, mp):
+                    continue
+                try:
+                    m = json.loads(fs_read_text(spark, mp))
+                except (json.JSONDecodeError, OSError):
+                    continue
+                if m.get("config_hash"):
+                    got, src = m["config_hash"], f"{stage}.manifest.json"
+                    break
+        if got is not None and got != want:
+            raise RuntimeError(
+                f"index at {workdir} was built with config_hash {got} "
+                f"({src}) but this IncrementalDedup was constructed with "
+                f"{want} — signatures would be incompatible; pass the "
+                "index's original DedupConfig or rebuild with compact()"
+            )
+        if self._has_anchor_index() and not meta:
+            cm = _j(workdir, "candidates.manifest.json")
+            ok = False
+            if fs_exists(spark, cm):
+                try:
+                    m = json.loads(fs_read_text(spark, cm))
+                    ok = m.get("config_hash") == want
+                except (json.JSONDecodeError, OSError):
+                    ok = False
+            if not ok:
+                raise RuntimeError(
+                    f"index at {workdir} carries an anchors table but no "
+                    "matching candidates manifest — a crashed pipeline "
+                    "re-run may have overwritten it with anchors from a "
+                    "different config/input; rerun the pipeline to "
+                    "completion (or compact()) before attaching batches"
+                )
 
     def _index(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.workdir, stage))
+        return self.spark.read.parquet(_j(self.workdir, stage))
 
     def _has_anchor_index(self) -> bool:
         """True when the index carries the persisted substring-anchor table
         ({workdir}/anchors — global-scope substring runs persist it as a
         candidates-stage side output)."""
-        return os.path.exists(os.path.join(self.workdir, "anchors"))
+        return fs_exists(self.spark, _j(self.workdir, "anchors"))
 
     def run(self, new_pages: DataFrame, recompute_text: bool = True):
         """-> (canonical_updates, assignments_new, bridges, report dict).
@@ -202,9 +357,15 @@ class IncrementalDedup:
             from deduplication_challenge_spark.operators.urlnorm import dedup_by_url
 
             new_pages = dedup_by_url(new_pages).drop("canonical_url")
-        docs_new = extract_pages(new_pages, recompute_text=recompute_text)
-        docs_new = docs_new.localCheckpoint(eager=False)
-        sigs_new = compute_signatures(docs_new, cfg).localCheckpoint(eager=False)
+        # every materialization in the attach path honors cfg.checkpoint_mode
+        # (plans/checkpointing.py): 'reliable' swaps executor-local pins for
+        # HDFS/object-store checkpoints so an executor loss mid-attach
+        # recovers instead of killing the query — the same fragility
+        # argument as the CC fixpoint loop, applied to the delta path
+        docs_new = stage_checkpoint(
+            extract_pages(new_pages, recompute_text=recompute_text), cfg
+        )
+        sigs_new = stage_checkpoint(compute_signatures(docs_new, cfg), cfg)
 
         assign_old = self._index("cc")  # (doc_id, cluster_id)
         # a re-crawled url carries the SAME doc_id in the batch and the
@@ -248,7 +409,7 @@ class IncrementalDedup:
                 substring_pairs_from_anchors,
             )
 
-            anchors_new = anchor_table(docs_new, cfg).localCheckpoint(eager=False)
+            anchors_new = stage_checkpoint(anchor_table(docs_new, cfg), cfg)
             self._anchors_new = anchors_new
             anchors_old = self._index("anchors")
             # a re-crawled url (same doc_id) may have stale anchors in the
@@ -270,7 +431,7 @@ class IncrementalDedup:
         cross_ok = cross_parts[0]
         for p in cross_parts[1:]:
             cross_ok = cross_ok.unionByName(p)
-        cross_ok = cross_ok.distinct().localCheckpoint(eager=False)
+        cross_ok = stage_checkpoint(cross_ok.distinct(), cfg)
 
         # new-vs-new edges: the standard batch rules at batch scale
         nn_lsh, _ = lsh.candidate_pairs(bands_new, cfg)
@@ -314,18 +475,21 @@ class IncrementalDedup:
             F.slice(F.array_sort(F.collect_set("old_cluster")), 1, 16).alias(
                 "bridged_clusters"
             ),
-        ).localCheckpoint(eager=False)  # feeds assignments + bridges + report
+        )
+        # feeds assignments + bridges + report
+        per_comp = stage_checkpoint(per_comp, cfg)
         bridges = per_comp.where(F.col("n_old_clusters") >= 2).select(
             "comp_id", "n_old_clusters", "bridged_clusters"
         )
-        assignments_new = (
+        assignments_new = stage_checkpoint(
             comp_of.join(per_comp.select("comp_id", "attached_cluster"), "comp_id", "left")
             .select(
                 "doc_id",
                 F.coalesce("attached_cluster", "comp_id").alias("cluster_id"),
                 F.col("attached_cluster").isNotNull().alias("attached"),
-            )
-        ).localCheckpoint(eager=False)
+            ),
+            cfg,
+        )
 
         # delta consolidation: old members of clusters that gained members,
         # plus every new doc
@@ -362,6 +526,7 @@ class IncrementalDedup:
             ),
         }
         self._last = (docs_new, sigs_new, assignments_new)
+        self._last_bridges = report["bridges"]
         return canonical_updates, assignments_new, bridges, report
 
     def _table_count(self, stage: str) -> int:
@@ -388,48 +553,69 @@ class IncrementalDedup:
         config-identical recluster cannot occur (detection is deterministic
         and compaction only ADDS the substring/corpus-wide context).
 
-        Crash safety: the new pipeline runs in a sibling temp workdir; a
-        journal marks the in-place swap, and ``__init__`` refuses an index
-        whose swap journal is still present (mid-swap crash) instead of
-        attaching against half-swapped tables."""
-        import json
-        import shutil
-
+        Crash safety: the new pipeline runs in a sibling temp workdir; the
+        in-place swap is journaled with its full child list and expected
+        post-swap stage counts, and every child moves by one atomic rename —
+        so ``__init__`` on a crashed index RE-RUNS the swap to completion
+        (``_apply_compact_swap`` is idempotent from any crash point) and
+        verifies the counts, instead of refusing a fully-recoverable state.
+        All filesystem traffic goes through the Hadoop FS API, so the swap
+        works identically on a driver-local dir, HDFS, or an object store."""
         from deduplication_challenge_spark.plans.pipeline import DedupPipeline
 
+        spark = self.spark
         docs = self._index("ingest")
         # old assignments (incl. implicit singletons), materialized EAGERLY:
         # the swap below deletes the very parquet dirs this plan reads
-        old_full = (
+        old_full = stage_checkpoint(
             docs.select("doc_id")
             .join(self._index("cc"), "doc_id", "left")
             .select(
                 "doc_id", F.coalesce("cluster_id", "doc_id").alias("old_cluster_id")
-            )
-            .localCheckpoint()
+            ),
+            self.cfg,
+            eager=True,
         )
         pages = docs.select(
             "url", "warc_ts", F.lit(None).cast("binary").alias("html"), "text", "lang"
         )
         tmp = self.workdir.rstrip("/") + "_compact_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        if fs_exists(spark, tmp):
+            fs_delete(spark, tmp)
         pipe = DedupPipeline(
-            self.spark, self.cfg, tmp, include_substring=True, recompute_text=False
+            spark, self.cfg, tmp, include_substring=True, recompute_text=False
         )
         _, report = pipe.run(pages, input_desc=f"compact:{self.workdir}")
 
-        journal = os.path.join(self.workdir, "compact.journal.json")
-        with open(journal, "w") as f:
-            json.dump({"tmp": tmp}, f)
-        for name in os.listdir(self.workdir):
-            if name in ("compact.journal.json",):
-                continue
-            full = os.path.join(self.workdir, name)
-            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
-        for name in os.listdir(tmp):
-            os.rename(os.path.join(tmp, name), os.path.join(self.workdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.remove(journal)
+        # hidden entries (ChecksumFileSystem '.…crc' sidecars) are NOT
+        # journaled: Hadoop's rename/delete carries a sidecar along with its
+        # main file, so listing them as children would double-handle them
+        children = [
+            name for name, _, _ in fs_listdir(spark, tmp) if not name.startswith(".")
+        ]
+        expected = {
+            s: spark.read.parquet(_j(tmp, s)).count() for s in _SWAP_COUNT_STAGES
+        }
+        journal = _j(self.workdir, "compact.journal.json")
+        j = {"tmp": tmp, "children": children, "expected": expected}
+        fs_write_text(spark, journal, json.dumps(j))
+        _apply_compact_swap(spark, self.workdir, j)
+        actual = {s: self._table_count(s) for s in _SWAP_COUNT_STAGES}
+        if actual != expected:
+            raise RuntimeError(
+                f"compact: post-swap counts {actual} != expected {expected}; "
+                "rebuild the index with a full DedupPipeline run"
+            )
+        fs_delete(spark, journal)
+        # recorded bridges are resolved by the recluster: reset the
+        # compaction-due counter (the swap deleted the old meta file)
+        self._write_meta(
+            {
+                "config_hash": self.cfg.config_hash(),
+                "bridges_accumulated": 0,
+                "batches_extended": 0,
+            }
+        )
         if hasattr(self, "_last"):
             del self._last  # pre-compact batch state is stale
 
@@ -480,9 +666,7 @@ class IncrementalDedup:
         loudly instead of silently reusing stale fingerprints."""
         if not hasattr(self, "_last"):
             raise RuntimeError("extend_index() requires a completed run() first")
-        import json
-        import shutil
-
+        spark = self.spark
         docs_new, sigs_new, assignments_new = self._last
         stages = ["ingest", "signatures", "cc"]
         if self._has_anchor_index():
@@ -496,49 +680,55 @@ class IncrementalDedup:
                 )
             stages.append("anchors")
         known = self._index("ingest").select("doc_id")
-        fresh = docs_new.join(known, "doc_id", "left_anti").localCheckpoint(eager=False)
+        fresh = stage_checkpoint(
+            docs_new.join(known, "doc_id", "left_anti"), self.cfg
+        )
         fresh_ids = fresh.select("doc_id")
 
-        staging = os.path.join(self.workdir, "_extend_staging")
-        shutil.rmtree(staging, ignore_errors=True)
-        fresh.write.parquet(os.path.join(staging, "ingest"))
+        staging = _j(self.workdir, "_extend_staging")
+        if fs_exists(spark, staging):
+            fs_delete(spark, staging)
+        fresh.write.parquet(_j(staging, "ingest"))
         sigs_new.join(fresh_ids, "doc_id", "left_semi").write.parquet(
-            os.path.join(staging, "signatures")
+            _j(staging, "signatures")
         )
         assignments_new.select("doc_id", "cluster_id").join(
             fresh_ids, "doc_id", "left_semi"
-        ).write.parquet(os.path.join(staging, "cc"))
+        ).write.parquet(_j(staging, "cc"))
         if "anchors" in stages:
             self._anchors_new.join(fresh_ids, "doc_id", "left_semi").write.parquet(
-                os.path.join(staging, "anchors")
+                _j(staging, "anchors")
             )
 
         staged = {
-            s: self.spark.read.parquet(os.path.join(staging, s)).count() for s in stages
+            s: spark.read.parquet(_j(staging, s)).count() for s in stages
         }
         before = {s: self._table_count(s) for s in stages}
         expected = {s: before[s] + staged[s] for s in stages}
-        journal = os.path.join(self.workdir, "extend.journal.json")
-        with open(journal, "w") as f:
-            json.dump({"before": before, "expected": expected}, f)
+        journal = _j(self.workdir, "extend.journal.json")
+        fs_write_text(
+            spark, journal, json.dumps({"before": before, "expected": expected})
+        )
 
         # manifests become stale the moment promotion starts; delete them
         # first so a crash anywhere below leaves "no manifests" (loud
         # rebuild) rather than "stale manifests" (silent wrong reuse)
-        for name in os.listdir(self.workdir):
+        for name, _, _ in fs_listdir(spark, self.workdir):
             if name.endswith(".manifest.json"):
-                os.remove(os.path.join(self.workdir, name))
+                fs_delete(spark, _j(self.workdir, name))
         for s in stages:
-            src_dir = os.path.join(staging, s)
-            dst_dir = os.path.join(self.workdir, s)
-            for fn in os.listdir(src_dir):
-                if fn == "_SUCCESS" or fn.endswith("_SUCCESS.crc"):
+            src_dir = _j(staging, s)
+            dst_dir = _j(self.workdir, s)
+            for fn, _, _ in fs_listdir(spark, src_dir):
+                # _SUCCESS markers stay behind; hidden '.…crc' sidecars move
+                # with their main file through the Hadoop rename
+                if fn == "_SUCCESS" or fn.endswith("_SUCCESS.crc") or fn.startswith("."):
                     continue
-                dst = os.path.join(dst_dir, fn)
-                if os.path.exists(dst):  # part-file UUIDs make this ~impossible
+                dst = _j(dst_dir, fn)
+                if fs_exists(spark, dst):  # part-file UUIDs make this ~impossible
                     raise RuntimeError(f"extend_index: staged file collides: {dst}")
-                os.rename(os.path.join(src_dir, fn), dst)
-        shutil.rmtree(staging, ignore_errors=True)
+                fs_rename(spark, _j(src_dir, fn), dst)
+        fs_delete(spark, staging)
 
         actual = {s: self._table_count(s) for s in stages}
         if actual != expected:
@@ -546,5 +736,40 @@ class IncrementalDedup:
                 f"extend_index: post-promote counts {actual} != expected {expected}; "
                 "index is inconsistent — rebuild via compact()"
             )
-        os.remove(journal)
+        fs_delete(spark, journal)
+        # advisory compaction accounting (index.meta.json): bridges recorded
+        # by the batch that just became part of the index accumulate until
+        # compact() resolves them; the meta file also pins the config hash
+        # now that the stage manifests are gone.  Non-journaled by design —
+        # losing a counter update costs an early/late compaction hint, never
+        # correctness.
+        meta = self._read_meta()
+        self._write_meta(
+            {
+                "config_hash": self.cfg.config_hash(),
+                "bridges_accumulated": int(meta.get("bridges_accumulated", 0))
+                + int(getattr(self, "_last_bridges", 0)),
+                "batches_extended": int(meta.get("batches_extended", 0)) + 1,
+            }
+        )
         del self._last
+
+    def should_compact(self, threshold: int = 1) -> dict:
+        """Operational compaction trigger for the run→extend loop:
+        accumulated bridge count (clusters an appended batch connected
+        without merging — the append-only drift compact() resolves) vs a
+        threshold.  Reads ``index.meta.json`` maintained by
+        ``extend_index``/``compact``; an index never extended reports 0.
+
+        -> {'bridges_accumulated', 'batches_extended', 'threshold',
+            'compact_due'}"""
+        if threshold < 1:
+            raise ValueError(f"threshold must be >= 1, got {threshold}")
+        meta = self._read_meta()
+        n = int(meta.get("bridges_accumulated", 0))
+        return {
+            "bridges_accumulated": n,
+            "batches_extended": int(meta.get("batches_extended", 0)),
+            "threshold": threshold,
+            "compact_due": n >= threshold,
+        }

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 import time
 from dataclasses import dataclass, field
 
@@ -30,6 +29,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deduplication_challenge_spark.config import DedupConfig
+from deduplication_challenge_spark.plans.checkpointing import (
+    fs_delete,
+    fs_exists,
+    fs_listdir,
+    fs_local_path,
+    fs_mkdirs,
+    fs_read_text,
+    fs_write_text,
+)
 from deduplication_challenge_spark.operators import lsh, simhash, suffixarray, verify
 from deduplication_challenge_spark.operators.connected_components import connected_components
 from deduplication_challenge_spark.operators.consolidate import attach_clusters, consolidate
@@ -106,14 +114,19 @@ class DedupPipeline:
         # already happened upstream). True exercises the byte-identical
         # html->text invariant end-to-end.
         self.recompute_text = recompute_text
-        os.makedirs(workdir, exist_ok=True)
+        # all driver-side workdir metadata goes through the Hadoop FS API
+        # (plans/checkpointing.py) so the same pipeline runs against a
+        # driver-local dir, a file:-scheme URI, HDFS, or an object store —
+        # the workdir lives where the stage parquet lives, never only on
+        # the driver's disk
+        fs_mkdirs(spark, workdir)
 
     # --- manifest plumbing -------------------------------------------------
     def _stage_dir(self, stage: str) -> str:
-        return os.path.join(self.workdir, stage)
+        return f"{self.workdir.rstrip('/')}/{stage}"
 
     def _manifest_path(self, stage: str) -> str:
-        return os.path.join(self.workdir, f"{stage}.manifest.json")
+        return f"{self.workdir.rstrip('/')}/{stage}.manifest.json"
 
     def _fingerprint(self, stage: str, upstream_fp: str, input_desc: str) -> str:
         payload = "|".join(
@@ -124,13 +137,13 @@ class DedupPipeline:
 
     def _load_manifest(self, stage: str) -> dict | None:
         p = self._manifest_path(stage)
-        if not os.path.exists(p):
+        if not fs_exists(self.spark, p):
             return None
         try:
-            with open(p) as f:
-                return json.load(f)
-        except (json.JSONDecodeError, OSError):
-            # corrupted manifest (e.g. killed mid-write) -> rebuild the stage
+            return json.loads(fs_read_text(self.spark, p))
+        except Exception:
+            # corrupted/unreadable manifest (killed mid-write, FS hiccup)
+            # -> rebuild the stage; JSON and Hadoop-stream errors alike
             return None
 
     def _run_stage(
@@ -146,7 +159,7 @@ class DedupPipeline:
         fp = self._fingerprint(stage, upstream_fp, input_desc)
         path = self._stage_dir(stage)
         manifest = self._load_manifest(stage)
-        if manifest and manifest.get("fingerprint") == fp and os.path.exists(path):
+        if manifest and manifest.get("fingerprint") == fp and fs_exists(self.spark, path):
             df = self.spark.read.parquet(path)
             report.stages[stage] = StageInfo(
                 stage, path, manifest["rows"], 0.0, True, manifest.get("counters", {})
@@ -158,33 +171,36 @@ class DedupPipeline:
         # otherwise leave stale-manifest + new-data, and a later run with
         # the old config would silently reuse the wrong table
         mp = self._manifest_path(stage)
-        if os.path.exists(mp):
-            os.remove(mp)
+        if fs_exists(self.spark, mp):
+            fs_delete(self.spark, mp)
         df = build()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         rows = out.count()  # parquet metadata count — no full scan
         seconds = time.monotonic() - t0
         counters = counters_fn(out, rows) if counters_fn else {}
-        # per-partition lineage: file-level ROW COUNTS from the parquet
-        # footers (pyarrow metadata read — no data scan) plus byte sizes,
-        # so a corrupt/short partition is localizable on resume
-        import pyarrow.parquet as pq
-
+        # per-partition lineage: file names + byte sizes from the Hadoop FS
+        # listing; file-level ROW COUNTS from the parquet footers when the
+        # table is on the local filesystem (pyarrow metadata read — no data
+        # scan).  On a remote store footer reads would need a remote-capable
+        # pyarrow filesystem; lineage then records rows=None rather than
+        # paying a per-file data scan — names+bytes still localize a
+        # corrupt/short partition on resume.
+        local = fs_local_path(self.spark, path)
         files = []
-        for fi in sorted(os.listdir(path)):
-            if not fi.endswith(".parquet"):
+        for name, size, _is_dir in fs_listdir(self.spark, path):
+            if not name.endswith(".parquet"):
                 continue
-            full = os.path.join(path, fi)
-            files.append(
-                {
-                    "file": os.path.basename(fi),
-                    "bytes": os.path.getsize(full),
-                    "rows": pq.ParquetFile(full).metadata.num_rows,
-                }
-            )
-        with open(self._manifest_path(stage), "w") as f:
-            json.dump(
+            nrows = None
+            if local is not None:
+                import pyarrow.parquet as pq
+
+                nrows = pq.ParquetFile(f"{local}/{name}").metadata.num_rows
+            files.append({"file": name, "bytes": size, "rows": nrows})
+        fs_write_text(
+            self.spark,
+            self._manifest_path(stage),
+            json.dumps(
                 {
                     "stage": stage,
                     "fingerprint": fp,
@@ -196,9 +212,9 @@ class DedupPipeline:
                     "counters": counters,
                     "partitions": files,
                 },
-                f,
                 indent=2,
-            )
+            ),
+        )
         report.stages[stage] = StageInfo(stage, path, rows, seconds, False, counters)
         return out, fp
 
@@ -380,13 +396,11 @@ class DedupPipeline:
                 else:
                     sub = suffixarray.substring_pairs(docs, cfg, self.substring_partitions)
                 parts.append(sub.select("src", "dst", F.lit("substring").alias("origin")))
-            if not use_global_substr and os.path.exists(anchors_path):
+            if not use_global_substr and fs_exists(self.spark, anchors_path):
                 # a previous run under a different config left an anchor
                 # table; it no longer matches this run's candidates — remove
                 # it so the incremental path can never join stale anchors
-                import shutil
-
-                shutil.rmtree(anchors_path)
+                fs_delete(self.spark, anchors_path)
             allp = parts[0]
             for p in parts[1:]:
                 allp = allp.unionByName(p)

@@ -426,7 +426,11 @@ class TestExtendAtomicity:
         with pytest.raises(RuntimeError, match="crashed extend_index"):
             IncrementalDedup(spark, cfg, wd)
 
-    def test_crashed_compact_swap_refuses(self, spark, micro_corpus, tmp_path_factory):
+    def test_crashed_compact_swap_legacy_journal_refuses(
+        self, spark, micro_corpus, tmp_path_factory
+    ):
+        """A journal without the replayable child list (legacy format /
+        truncated write) cannot be recovered — construction refuses."""
         import json
         import os
 
@@ -442,6 +446,142 @@ class TestExtendAtomicity:
             json.dump({"tmp": wd + "_compact_tmp"}, f)
         with pytest.raises(RuntimeError, match="crashed compact"):
             IncrementalDedup(spark, cfg, wd)
+
+    def test_compact_crash_before_swap_rolls_forward(
+        self, spark, micro_corpus, tmp_path_factory
+    ):
+        """Crash right after the journal write (tmp pipeline complete, old
+        tables untouched): __init__ REPLAYS the journaled swap to completion
+        instead of refusing — the compacted tables land, journal and tmp are
+        cleared, and the index is immediately attachable."""
+        import json
+        import os
+        import shutil
+
+        cfg = DedupConfig()
+        wd = str(tmp_path_factory.mktemp("atom_fwd"))
+        pages = spark.createDataFrame(
+            [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang"))
+             for r in micro_corpus.rows[:8]],
+            PAGES_DDL,
+        )
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(pages, "t")
+        # simulate: build the compacted run in the tmp sibling (a full
+        # pipeline over the index docs, same as compact() does), write the
+        # journal, then "crash" before any delete/rename
+        tmp = wd + "_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        docs = spark.read.parquet(os.path.join(wd, "ingest"))
+        from pyspark.sql import functions as F
+
+        tmp_pages = docs.select(
+            "url", "warc_ts", F.lit(None).cast("binary").alias("html"), "text", "lang"
+        )
+        DedupPipeline(spark, cfg, tmp, recompute_text=False).run(tmp_pages, "compact-sim")
+        children = sorted(n for n in os.listdir(tmp) if not n.startswith('.'))
+        expected = {
+            s: spark.read.parquet(os.path.join(tmp, s)).count()
+            for s in ("ingest", "signatures", "cc")
+        }
+        with open(os.path.join(wd, "compact.journal.json"), "w") as f:
+            json.dump({"tmp": tmp, "children": children, "expected": expected}, f)
+
+        inc = IncrementalDedup(spark, cfg, wd)  # replays the swap, no raise
+        assert not os.path.exists(os.path.join(wd, "compact.journal.json"))
+        assert not os.path.exists(tmp)
+        # swapped-in tables are the tmp run's (anchors side output present:
+        # the tmp run included the global substring pass)
+        assert os.path.exists(os.path.join(wd, "anchors"))
+        for s, n in expected.items():
+            assert spark.read.parquet(os.path.join(wd, s)).count() == n
+        assert inc._has_anchor_index()
+
+    def test_compact_crash_mid_swap_rolls_forward(
+        self, spark, micro_corpus, tmp_path_factory
+    ):
+        """Crash MID-swap (some children renamed, some stale entries still
+        present, some still in tmp): the replay is idempotent from any
+        point — __init__ finishes it and the counts verify."""
+        import json
+        import os
+        import shutil
+
+        cfg = DedupConfig()
+        wd = str(tmp_path_factory.mktemp("atom_mid"))
+        pages = spark.createDataFrame(
+            [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang"))
+             for r in micro_corpus.rows[:8]],
+            PAGES_DDL,
+        )
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(pages, "t")
+        tmp = wd + "_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        docs = spark.read.parquet(os.path.join(wd, "ingest"))
+        from pyspark.sql import functions as F
+
+        tmp_pages = docs.select(
+            "url", "warc_ts", F.lit(None).cast("binary").alias("html"), "text", "lang"
+        )
+        DedupPipeline(spark, cfg, tmp, recompute_text=False).run(tmp_pages, "compact-sim")
+        children = sorted(n for n in os.listdir(tmp) if not n.startswith('.'))
+        expected = {
+            s: spark.read.parquet(os.path.join(tmp, s)).count()
+            for s in ("ingest", "signatures", "cc")
+        }
+        with open(os.path.join(wd, "compact.journal.json"), "w") as f:
+            json.dump({"tmp": tmp, "children": children, "expected": expected}, f)
+        # simulate a partial swap: 'cc' already moved (old deleted, new
+        # renamed in); 'signatures' old deleted but new not yet renamed
+        shutil.rmtree(os.path.join(wd, "cc"))
+        os.rename(os.path.join(tmp, "cc"), os.path.join(wd, "cc"))
+        shutil.rmtree(os.path.join(wd, "signatures"))
+
+        IncrementalDedup(spark, cfg, wd)  # finishes the swap
+        assert not os.path.exists(os.path.join(wd, "compact.journal.json"))
+        assert not os.path.exists(tmp)
+        for s, n in expected.items():
+            assert spark.read.parquet(os.path.join(wd, s)).count() == n
+
+    def test_compact_completed_swap_journal_left(
+        self, spark, micro_corpus, tmp_path_factory
+    ):
+        """Advisor finding: crash AFTER the swap fully completed (tmp gone)
+        but before the journal unlink — the workdir is fully valid, and
+        __init__ must just clear the journal instead of refusing."""
+        import json
+        import os
+
+        cfg = DedupConfig()
+        wd = str(tmp_path_factory.mktemp("atom_done"))
+        pages = spark.createDataFrame(
+            [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang"))
+             for r in micro_corpus.rows[:8]],
+            PAGES_DDL,
+        )
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(pages, "t")
+        inc = IncrementalDedup(spark, cfg, wd)
+        inc.compact()  # real compact: swap completes, journal removed
+        # re-create the journal exactly as the crash would leave it (the
+        # journaled children are the tmp run's entries — index.meta.json is
+        # written only after the journal unlink, so it is never journaled)
+        children = sorted(
+            n for n in os.listdir(wd)
+            if n not in ("index.meta.json", "compact.journal.json")
+            and not n.startswith(".")
+        )
+        expected = {
+            s: spark.read.parquet(os.path.join(wd, s)).count()
+            for s in ("ingest", "signatures", "cc")
+        }
+        with open(os.path.join(wd, "compact.journal.json"), "w") as f:
+            json.dump(
+                {"tmp": wd + "_compact_tmp", "children": children, "expected": expected},
+                f,
+            )
+        IncrementalDedup(spark, cfg, wd)  # unlinks the journal, no raise
+        assert not os.path.exists(os.path.join(wd, "compact.journal.json"))
+        for s, n in expected.items():
+            assert spark.read.parquet(os.path.join(wd, s)).count() == n
 
 
 def test_line_dedup_config_rejected_for_delta_but_not_compact(
@@ -611,3 +751,159 @@ def test_extend_index_never_duplicates_recrawled_doc_ids(spark, micro_corpus, tm
     assert ingest.groupBy("doc_id").count().where("count > 1").count() == 0
     sigs = spark.read.parquet(wd + "/signatures")
     assert sigs.groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+class TestClusterScaleIndex:
+    """Round-5 items: Hadoop-FS-safe promotion (file:-scheme workdir),
+    config-hash validation, anchors provenance, checkpoint-mode parity on
+    the attach path, and the should_compact operational trigger."""
+
+    def _mk_pages(self, spark, rows):
+        return spark.createDataFrame(
+            [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang"))
+             for r in rows],
+            PAGES_DDL,
+        )
+
+    def test_file_scheme_promotion_paths(self, spark, micro_corpus, tmp_path_factory):
+        """extend_index() and compact() run against a ``file:``-scheme
+        Hadoop URI workdir — every journal/staging/rename goes through the
+        Hadoop FS API, so the identical code path serves HDFS/object-store
+        indexes on a real cluster."""
+        import os
+
+        cfg = DedupConfig()
+        rows = micro_corpus.rows
+        wd_plain = str(tmp_path_factory.mktemp("fs_scheme"))
+        DedupPipeline(spark, cfg, wd_plain, include_substring=False).run(
+            self._mk_pages(spark, rows[:20]), "idx"
+        )
+        wd_uri = "file://" + wd_plain  # same directory, scheme-addressed
+        inc = IncrementalDedup(spark, cfg, wd_uri)
+        _, assignments_new, _, rep = inc.run(self._mk_pages(spark, rows[20:30]))
+        inc.extend_index()
+        assert spark.read.parquet(os.path.join(wd_plain, "ingest")).count() == 30
+        assert not os.path.exists(os.path.join(wd_plain, "_extend_staging"))
+        assert not os.path.exists(os.path.join(wd_plain, "extend.journal.json"))
+        assert os.path.exists(os.path.join(wd_plain, "index.meta.json"))
+
+        # compact over the URI workdir: sibling tmp pipeline + journaled
+        # swap, all through the Hadoop FS
+        canonical, cluster_map, crep = IncrementalDedup(spark, cfg, wd_uri).compact()
+        assert canonical.count() >= 1
+        assert crep["docs_reclustered"] == 30
+        assert not os.path.exists(wd_plain + "_compact_tmp")
+        assert not os.path.exists(os.path.join(wd_plain, "compact.journal.json"))
+        # the compacted workdir is a valid resumable pipeline checkpoint
+        assert os.path.exists(os.path.join(wd_plain, "cc.manifest.json"))
+        IncrementalDedup(spark, cfg, wd_uri)  # constructs cleanly
+
+    def test_should_compact_roundtrip(self, spark, tmp_path_factory):
+        """Operational loop: attach+extend batches until accumulated bridges
+        reach the threshold, should_compact() says compact is due, compact()
+        clears it."""
+        import datetime as dt
+
+        cfg = DedupConfig()
+        text_a, text_c, text_bridge = _bridge_corpus()
+        mk = lambda u, t: (u, dt.datetime(2025, 1, 1), None, t, "en")
+        idx_pages = spark.createDataFrame(
+            [mk("https://s/a1", text_a), mk("https://s/a2", text_a),
+             mk("https://s/c1", text_c), mk("https://s/c2", text_c)],
+            PAGES_DDL,
+        )
+        wd = str(tmp_path_factory.mktemp("should_compact"))
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(idx_pages, "idx")
+        inc = IncrementalDedup(spark, cfg, wd)
+        st = inc.should_compact(threshold=1)
+        assert st == {"bridges_accumulated": 0, "batches_extended": 0,
+                      "threshold": 1, "compact_due": False}
+
+        _, _, bridges, rep = inc.run(
+            spark.createDataFrame([mk("https://s/bridge", text_bridge)], PAGES_DDL)
+        )
+        assert rep["bridges"] == 1
+        # not yet extended: the bridge is not part of the index state yet
+        assert inc.should_compact(1)["bridges_accumulated"] == 0
+        inc.extend_index()
+        st = inc.should_compact(threshold=1)
+        assert st["bridges_accumulated"] == 1
+        assert st["batches_extended"] == 1
+        assert st["compact_due"]
+        assert not inc.should_compact(threshold=5)["compact_due"]
+
+        inc.compact()
+        st = inc.should_compact(threshold=1)
+        assert st == {"bridges_accumulated": 0, "batches_extended": 0,
+                      "threshold": 1, "compact_due": False}
+        # and the compaction actually merged the bridged clusters
+        can = spark.read.parquet(wd + "/consolidate")
+        assert can.where("n_members = 5").count() == 1
+
+    def test_config_hash_mismatch_refuses(self, spark, micro_corpus, tmp_path_factory):
+        """An index built under one config refuses attachment under another
+        (signatures would be incompatible) — both via surviving manifests
+        and via index.meta.json once extended."""
+        from dataclasses import replace
+
+        cfg = DedupConfig()
+        rows = micro_corpus.rows
+        wd = str(tmp_path_factory.mktemp("cfg_guard"))
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(
+            self._mk_pages(spark, rows[:10]), "idx"
+        )
+        with pytest.raises(RuntimeError, match="config_hash"):
+            IncrementalDedup(spark, replace(cfg, shingle_k=4), wd)
+        # checkpoint_mode is a recovery knob excluded from the hash: legal
+        IncrementalDedup(spark, replace(cfg, checkpoint_mode="reliable"), wd)
+
+        # extended index: manifests are gone, index.meta.json carries the hash
+        inc = IncrementalDedup(spark, cfg, wd)
+        inc.run(self._mk_pages(spark, rows[10:14]))
+        inc.extend_index()
+        import os
+
+        assert not os.path.exists(os.path.join(wd, "cc.manifest.json"))
+        with pytest.raises(RuntimeError, match="config_hash"):
+            IncrementalDedup(spark, replace(cfg, jaccard_threshold=0.5), wd)
+        IncrementalDedup(spark, cfg, wd)  # matching config still fine
+
+    def test_anchors_without_candidates_manifest_refuses(
+        self, spark, micro_corpus, tmp_path_factory
+    ):
+        """Advisor finding: anchors overwritten by a crashed pipeline re-run
+        (candidates manifest deleted, cc not yet rebuilt) must not be
+        silently joined by the delta substring pass."""
+        import os
+
+        cfg = DedupConfig()
+        rows = micro_corpus.rows
+        wd = str(tmp_path_factory.mktemp("anchor_guard"))
+        # full pipeline WITH substring: persists {wd}/anchors
+        DedupPipeline(spark, cfg, wd).run(self._mk_pages(spark, rows[:10]), "idx")
+        assert os.path.exists(os.path.join(wd, "anchors"))
+        IncrementalDedup(spark, cfg, wd)  # intact: constructs fine
+        os.remove(os.path.join(wd, "candidates.manifest.json"))
+        with pytest.raises(RuntimeError, match="anchors"):
+            IncrementalDedup(spark, cfg, wd)
+
+    def test_checkpoint_mode_parity_on_attach(
+        self, spark, micro_corpus, tmp_path_factory
+    ):
+        """run() under checkpoint_mode='reliable' produces identical
+        assignments to 'local' — the mode is a recovery knob, never
+        semantics (mirrors test_cc's identical-output pin)."""
+        from dataclasses import replace
+
+        cfg = DedupConfig()
+        rows = micro_corpus.rows
+        wd = str(tmp_path_factory.mktemp("ckpt_parity"))
+        DedupPipeline(spark, cfg, wd).run(self._mk_pages(spark, rows[:30]), "idx")
+        batch = self._mk_pages(spark, rows[30:50])
+
+        def attach(mode):
+            inc = IncrementalDedup(spark, replace(cfg, checkpoint_mode=mode), wd)
+            _, assignments_new, _, _ = inc.run(batch)
+            return {r["doc_id"]: r["cluster_id"] for r in assignments_new.collect()}
+
+        assert attach("local") == attach("reliable")

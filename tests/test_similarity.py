@@ -92,7 +92,8 @@ class TestBucketedNearDupPairs:
         """Recall gate (judge round-1 item 6): the LSH-bucketed pair query vs
         the exact cross-join on the driver's sf0.01 embeddings.  All inputs
         and hyperplanes are seeded, so recall is a deterministic number
-        (0.860 at 4 planes x 12 tables); the gate sits just below it."""
+        (0.978 at the pinned 5 planes x 12 tables x 1 probe — 0.860 before
+        multiprobe); the gate sits just below it."""
         import os
 
         from deduplication_challenge_spark.entry_queries import (
@@ -109,7 +110,7 @@ class TestBucketedNearDupPairs:
                for r in q_embedding_near_dup_pairs_lsh(spark, sf_dir).collect()}
         assert lsh <= exact          # verification step admits no false pairs
         recall = len(lsh & exact) / len(exact)
-        assert recall >= 0.85, recall
+        assert recall >= 0.95, recall
 
     def test_ann_topk_missed_query_is_the_recall_audit(self, spark):
         """Driver-visible top-k recall (judge round-3 item 4): the
@@ -136,9 +137,10 @@ class TestBucketedNearDupPairs:
                   for r in q_ann_topk_lsh_missed(spark, sf_dir).collect()}
         assert missed == exact - approx
         recall = 1 - len(missed) / len(exact)
-        # deterministic 0.80 at the pinned 5x12 config (numpy-measured);
-        # gate just below it
-        assert recall >= 0.75, recall
+        # deterministic 1.00 at the pinned 5x12x2-probe config
+        # (numpy-measured; 0.80 before multiprobe); gate at the judge's
+        # >= 0.9 bar (<= 3 missed of 30)
+        assert recall >= 0.9, recall
 
     def test_high_cosine_regime_prunes_and_recalls(self, spark, emb_df, vectors):
         """The honest scale claim: in the near-dup regime (cos >= 0.95,
@@ -181,3 +183,74 @@ def test_zero_norm_vectors_never_pair_with_nan(spark):
     assert (1, 2) not in pairs  # zero-norm pair suppressed, not NaN-emitted
     import math
     assert all(not math.isnan(v) for v in pairs.values())
+
+
+class TestMultiprobe:
+    def test_probing_supersets_base_candidates(self, spark):
+        """Multiprobe only ADDS candidates: the probed pair set contains the
+        unprobed one (recall is monotone in n_probes)."""
+        import os
+
+        from deduplication_challenge_spark.operators.similarity import (
+            cosine_near_dup_pairs_lsh,
+        )
+
+        sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+        if not os.path.isdir(sf_dir):
+            pytest.skip("driver testdata not present")
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id", "embedding"
+        )
+        base = {(r["vec_id_a"], r["vec_id_b"])
+                for r in cosine_near_dup_pairs_lsh(
+                    e, threshold=0.35, n_planes=5, n_tables=12, seed=42
+                ).collect()}
+        probed = {(r["vec_id_a"], r["vec_id_b"])
+                  for r in cosine_near_dup_pairs_lsh(
+                      e, threshold=0.35, n_planes=5, n_tables=12, seed=42, n_probes=1
+                  ).collect()}
+        assert base <= probed
+        assert len(probed) > len(base)
+
+    def test_with_stats_reports_candidate_fraction(self, spark):
+        """The no-silent-caps surface: with_stats returns the candidate
+        count and fraction the probing costs."""
+        import os
+
+        from deduplication_challenge_spark.operators.similarity import (
+            cosine_near_dup_pairs_lsh,
+            cosine_topk_lsh,
+        )
+
+        sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+        if not os.path.isdir(sf_dir):
+            pytest.skip("driver testdata not present")
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id", "embedding"
+        )
+        n = e.count()
+        _, pair_stats = cosine_near_dup_pairs_lsh(
+            e, threshold=0.35, n_planes=5, n_tables=12, seed=42, n_probes=1,
+            with_stats=True,
+        )
+        row = pair_stats.collect()[0]
+        assert row["n_possible"] == n * (n - 1) // 2
+        assert 0 < row["n_candidates"] <= row["n_possible"]
+        assert 0 < row["candidate_fraction"] <= 1.0
+        _, topk_stats = cosine_topk_lsh(
+            e, e.where(F.col("vec_id") < 10), k=3,
+            n_planes=5, n_tables=12, seed=42, n_probes=2, with_stats=True,
+        )
+        trow = topk_stats.collect()[0]
+        assert trow["n_possible"] == n * 10
+        assert 0 < trow["candidate_fraction"] <= 1.0
+
+    def test_n_probes_validated(self, spark):
+        from deduplication_challenge_spark.operators.similarity import (
+            _table_buckets_udf,
+        )
+
+        with pytest.raises(ValueError, match="n_probes"):
+            _table_buckets_udf(4, 12, 42, n_probes=4)
+        with pytest.raises(ValueError, match="n_probes"):
+            _table_buckets_udf(4, 12, 42, n_probes=-1)

@@ -375,7 +375,10 @@ class TestManifestIntegrity:
         pipe.run(pages, input_desc="v1")
         # simulate a crash mid-rebuild: manifest write raises after the
         # parquet overwrite (different input_desc forces every stage dirty)
-        with patch("json.dump", side_effect=OSError("disk full")):
+        with patch(
+            "deduplication_challenge_spark.plans.pipeline.fs_write_text",
+            side_effect=OSError("disk full"),
+        ):
             with pytest.raises(OSError):
                 pipe.run(pages, input_desc="v2")
         # the ingest manifest must not VALIDATE as the stale v1 record —

@@ -186,3 +186,158 @@ class TestWetAndCorruption:
         bad = _gzip.compress(b"x" * 50)[:20]  # torn member
         pages = warc_bytes_to_pages(good + bad)
         assert [p["url"] for p in pages] == ["https://w/1"]
+
+
+class TestHttpBodyCodings:
+    """Real-archive HTTP bodies: Transfer-Encoding chunked framing and
+    Content-Encoding gzip/deflate compression are decoded before the
+    charset-aware extraction; every failure mode is total and counted."""
+
+    def _mk(self, **kw):
+        row = {"url": "https://c/1", "warc_ts": dt.datetime(2025, 1, 1),
+               "html": b"<html><body><p>chunky alpha beta gamma</p></body></html>"}
+        row.update(kw)
+        return row
+
+    def test_chunked_body_dechunked(self):
+        data = write_warc([self._mk(transfer_chunked=7)], gzip_members=False)
+        stats = {}
+        pages = warc_bytes_to_pages(data, stats=stats)
+        assert pages[0]["html"] == self._mk()["html"]
+        assert stats["bodies_dechunked"] == 1
+        assert "dechunk_failures" not in stats
+
+    @pytest.mark.parametrize("enc", ["gzip", "deflate"])
+    def test_compressed_body_decompressed(self, enc):
+        data = write_warc([self._mk(content_encoding=enc)], gzip_members=False)
+        stats = {}
+        pages = warc_bytes_to_pages(data, stats=stats)
+        assert pages[0]["html"] == self._mk()["html"]
+        assert stats["bodies_decompressed"] == 1
+
+    def test_chunked_plus_gzip(self):
+        """Sender applies Content-Encoding first, then chunked framing —
+        the reader undoes both in reverse."""
+        data = write_warc(
+            [self._mk(content_encoding="gzip", transfer_chunked=5)],
+            gzip_members=False,
+        )
+        stats = {}
+        pages = warc_bytes_to_pages(data, stats=stats)
+        assert pages[0]["html"] == self._mk()["html"]
+        assert stats["bodies_dechunked"] == 1
+        assert stats["bodies_decompressed"] == 1
+
+    def test_raw_deflate_quirk(self):
+        """Broken servers ship raw-deflate under 'deflate'; the reader
+        falls back to wbits=-15 after the RFC's zlib-wrapped attempt."""
+        import zlib
+
+        body = self._mk()["html"]
+        raw = zlib.compressobj(wbits=-15)
+        compressed = raw.compress(body) + raw.flush()
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: deflate\r\n\r\n" + compressed)
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://c/raw\r\n"
+               b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+               + b"Content-Length: %d\r\n\r\n" % len(http) + http + b"\r\n\r\n")
+        stats = {}
+        pages = warc_bytes_to_pages(rec, stats=stats)
+        assert pages[0]["html"] == body
+        assert stats["bodies_decompressed"] == 1
+
+    def test_malformed_chunk_framing_counted_not_raising(self):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\nZZZ\r\nnot chunked at all")
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://c/bad\r\n"
+               b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+               + b"Content-Length: %d\r\n\r\n" % len(http) + http + b"\r\n\r\n")
+        stats = {}
+        pages = warc_bytes_to_pages(rec, stats=stats)
+        assert pages[0]["html"] == b"ZZZ\r\nnot chunked at all"  # raw kept
+        assert stats["dechunk_failures"] == 1
+
+    def test_corrupt_gzip_body_counted_not_raising(self):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: gzip\r\n\r\n\x1f\x8bgarbage-not-gzip")
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://c/badgz\r\n"
+               b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+               + b"Content-Length: %d\r\n\r\n" % len(http) + http + b"\r\n\r\n")
+        stats = {}
+        pages = warc_bytes_to_pages(rec, stats=stats)
+        assert pages[0]["html"] == b"\x1f\x8bgarbage-not-gzip"
+        assert stats["decompress_failures"] == 1
+
+    def test_unknown_coding_kept_opaque_and_counted(self):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: br\r\n\r\nBROTLI-OPAQUE-BYTES")
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://c/br\r\n"
+               b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+               + b"Content-Length: %d\r\n\r\n" % len(http) + http + b"\r\n\r\n")
+        stats = {}
+        pages = warc_bytes_to_pages(rec, stats=stats)
+        assert pages[0]["html"] == b"BROTLI-OPAQUE-BYTES"
+        assert stats["decompress_failures"] == 1
+
+    def test_gzipped_charset_body_reaches_extraction(self, spark, tmp_path_factory):
+        """Full chain: gzipped shift_jis body + header charset -> read_warc
+        -> extract_pages decodes the right characters."""
+        from deduplication_challenge_spark.operators.ingest import extract_pages
+        from deduplication_challenge_spark.sources.warc import read_warc
+
+        text = "日本語のページ"
+        html = f"<html><body><p>{text}</p></body></html>".encode("shift_jis")
+        data = write_warc(
+            [{"url": "https://c/sj", "warc_ts": dt.datetime(2025, 1, 1),
+              "html": html, "charset": "shift_jis", "content_encoding": "gzip",
+              "transfer_chunked": 16}],
+            gzip_members=True,
+        )
+        d = tmp_path_factory.mktemp("warc_gz_sj")
+        (d / "a.warc.gz").write_bytes(data)
+        docs = extract_pages(read_warc(spark, str(d / "a.warc.gz"))).collect()
+        assert len(docs) == 1
+        assert text in docs[0]["text"]
+
+
+class TestMalformedRecordSkip:
+    def _rec(self, url, body=b"hello", length=None):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        n = length if length is not None else len(http)
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+                + b"Content-Length: %s\r\n\r\n" % str(n).encode() + http + b"\r\n\r\n")
+
+    def test_corrupt_middle_record_skipped_and_counted(self):
+        """A record with an unparseable Content-Length no longer drops the
+        archive's tail: the reader re-syncs to the next record magic and
+        counts the skip."""
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://m/bad\r\n"
+               b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+               b"Content-Length: NOT-A-NUMBER\r\n\r\ngarbage body")
+        data = self._rec("https://m/1") + bad + b"\r\n\r\n" + self._rec("https://m/2")
+        stats = {}
+        pages = warc_bytes_to_pages(data, stats=stats)
+        assert [p["url"] for p in pages] == ["https://m/1", "https://m/2"]
+        assert stats["records_skipped"] == 1
+
+    def test_read_warc_stats_dataframe(self, spark, tmp_path_factory):
+        """Driver-visible audit: per-archive damage counters as a DataFrame."""
+        from deduplication_challenge_spark.sources.warc import read_warc_stats
+
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://m/bad\r\n"
+               b"Content-Length: NOT-A-NUMBER\r\n\r\ngarbage")
+        data = self._rec("https://m/1") + bad + b"\r\n\r\n" + self._rec("https://m/2")
+        d = tmp_path_factory.mktemp("warc_stats")
+        (d / "a.warc").write_bytes(data)
+        row = read_warc_stats(spark, str(d / "a.warc")).collect()[0]
+        assert row["records_yielded"] == 2
+        assert row["records_skipped"] == 1
+        assert row["records_truncated"] == 0

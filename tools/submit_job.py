@@ -58,6 +58,17 @@ def main() -> None:
         "against everything seen so far",
     )
     ap.add_argument(
+        "--should-compact", action="store_true",
+        help="with --incremental-index: report whether accumulated bridges "
+        "(clusters connected-but-unmerged by appended batches) have reached "
+        "--compact-threshold, i.e. whether a compact() is due; prints JSON "
+        "and exits without reading any input",
+    )
+    ap.add_argument(
+        "--compact-threshold", type=int, default=1,
+        help="bridge count at which --should-compact reports compact_due",
+    )
+    ap.add_argument(
         "--compact", action="store_true",
         help="with --incremental-index: ignore --input and run the periodic "
         "full recluster over the extended index IN PLACE (resolves recorded "
@@ -73,8 +84,8 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", default=None,
                     help="reliable-checkpoint directory (cluster-visible)")
     args = ap.parse_args()
-    if not args.compact and not (args.input or args.table):
-        ap.error("--input or --table is required (except with --compact)")
+    if not (args.compact or args.should_compact) and not (args.input or args.table):
+        ap.error("--input or --table is required (except with --compact / --should-compact)")
 
     from dataclasses import replace
 
@@ -89,6 +100,17 @@ def main() -> None:
         url_dedup=args.url_dedup,
         checkpoint_mode=args.checkpoint_mode,
     )
+    if args.should_compact:
+        if not args.incremental_index:
+            ap.error("--should-compact requires --incremental-index")
+        from deduplication_challenge_spark.plans.incremental import IncrementalDedup
+
+        inc = IncrementalDedup(
+            spark, replace(DedupConfig(), **cfg_common), args.incremental_index
+        )
+        print(json.dumps({"should_compact": inc.should_compact(args.compact_threshold)}))
+        spark.stop()
+        return
     if args.compact:
         if not args.incremental_index:
             ap.error("--compact requires --incremental-index")
@@ -124,8 +146,7 @@ def main() -> None:
         return
     pipe = DedupPipeline(
         spark,
-        replace(DedupConfig(), line_dedup_min_docs=args.line_dedup_min_docs,
-                url_dedup=args.url_dedup),
+        replace(DedupConfig(), **cfg_common),
         args.workdir,
         include_substring=not args.no_substring,
         substring_partitions=args.substring_partitions,
