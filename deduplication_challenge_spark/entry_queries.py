@@ -900,6 +900,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_canonical_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from deduplication_challenge_spark.config import DedupConfig
@@ -907,12 +908,18 @@ def q_canonical_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deduplication_challenge_spark.sources.pages import pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir)
-    pipe = DedupPipeline(
-        spark, DedupConfig(), tempfile.mkdtemp(prefix="dedup_q_"),
-        include_substring=False,
-    )
-    canonical, _ = pipe.run(pages, input_desc=sf_dir)
-    return canonical.select("cluster_id", "doc_id", "url", "lang", "n_members")
+    workdir = tempfile.mkdtemp(prefix="dedup_q_")
+    try:
+        pipe = DedupPipeline(spark, DedupConfig(), workdir, include_substring=False)
+        canonical, _ = pipe.run(pages, input_desc=sf_dir)
+        # the result is pinned off the workdir (eager localCheckpoint)
+        # BEFORE the stage tables are deleted — repeated driver runs must
+        # not accumulate dedup_q_* stage dirs in /tmp
+        return canonical.select(
+            "cluster_id", "doc_id", "url", "lang", "n_members"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 QUERIES = {

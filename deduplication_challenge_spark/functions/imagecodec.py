@@ -239,13 +239,27 @@ def probe_image(data: bytes) -> tuple[str, int, int, int] | None:
     b = probe_bmp(data)
     if b is not None:
         return ("bmp", *b)
+    from deduplication_challenge_spark.functions.jpegcodec import probe_jpeg
+
+    j = probe_jpeg(data)
+    if j is not None:
+        return ("jpeg", *j)
     return None
 
 
 def decode_image(data: bytes) -> np.ndarray | None:
-    """Decode PNG/BMP payloads to (H, W, C) uint8; None when the payload is
-    not a supported image (callers fall back to opaque-bytes treatment)."""
+    """Decode PNG/BMP/JPEG payloads to (H, W, C) uint8; None when the
+    payload is not a supported image (callers fall back to opaque-bytes
+    treatment).  JPEG decode is baseline-only (functions/jpegcodec.py):
+    progressive/arithmetic streams probe (dims readable) but raise on
+    decode, landing on the same opaque fallback."""
     meta = probe_image(data)
     if meta is None:
         return None
-    return decode_png(data) if meta[0] == "png" else decode_bmp(data)
+    if meta[0] == "png":
+        return decode_png(data)
+    if meta[0] == "bmp":
+        return decode_bmp(data)
+    from deduplication_challenge_spark.functions.jpegcodec import decode_jpeg
+
+    return decode_jpeg(data)

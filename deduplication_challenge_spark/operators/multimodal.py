@@ -1,14 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image, audio AND video decode are REAL: PNG/BMP payloads decode to pixel
-arrays by the vendored pure-Python codecs (functions/imagecodec.py — RFC
-2083 PNG + classic 24bpp BMP), WAV payloads decode to PCM sample arrays
+Image, audio AND video decode are REAL: PNG/BMP/baseline-JPEG payloads
+decode to pixel arrays by the vendored pure-Python codecs
+(functions/imagecodec.py — RFC 2083 PNG + classic 24bpp BMP;
+functions/jpegcodec.py — ITU-T T.81 baseline sequential DCT incl. 4:2:0
+subsampling and restart markers), WAV payloads decode to PCM sample arrays
 (functions/audiocodec.py — RIFF integer PCM, 8/16-bit), and AVI payloads
 decode to frame-sampled pixel arrays (functions/videocodec.py — RIFF AVI
 with uncompressed 24bpp DIB frames); no external media lib ships in this
-container.  Remaining payloads (compressed video codecs, unknown formats)
-fall back to opaque-bytes featurization — swapping in pyav on a real
-cluster changes only ``_decode_payload``, never the DataFrame contract.
+container.  Remaining payloads (progressive/arithmetic JPEG, compressed
+video codecs, unknown formats) fall back to opaque-bytes featurization —
+swapping in pyav/Pillow on a real cluster changes only ``_decode_payload``,
+never the DataFrame contract.
 
 Design rules for binary columns at scale:
   * payloads stay opaque bytes end-to-end; metadata lives in a sibling
@@ -56,7 +59,7 @@ DECODED_SCHEMA = (
     "n_bytes long, byte_entropy double, features array<float>"
 )
 
-IMAGE_CODECS = ("png", "bmp")  # real vendored decoders
+IMAGE_CODECS = ("png", "bmp", "jpeg")  # real vendored decoders
 AUDIO_CODECS = ("wav",)        # real vendored decoder
 VIDEO_CODECS = ("avi",)        # real vendored decoder (uncompressed DIB)
 

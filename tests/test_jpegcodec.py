@@ -1,0 +1,150 @@
+"""Vendored baseline-JPEG codec (ITU-T T.81): roundtrip ERROR BOUNDS (JPEG
+is lossy by construction — the byte-exact pins stay with PNG/BMP), probe
+semantics, subsampling/restart decode paths, rejection of non-baseline
+modes, and the multimodal opaque-fallback integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deduplication_challenge_spark.functions.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+    probe_jpeg,
+)
+
+H, W = 37, 53
+
+
+def _gradient_rgb() -> np.ndarray:
+    yy, xx = np.mgrid[0:H, 0:W]
+    return np.stack(
+        [(xx * 255 / W), (yy * 255 / H), ((xx + yy) * 255 / (H + W))], axis=2
+    ).astype(np.uint8)
+
+
+class TestRoundtrip:
+    def test_rgb_quality_error_bounds(self):
+        """Deterministic error bounds per quality on a smooth gradient —
+        the lossy analog of decode(encode(x)) == x."""
+        img = _gradient_rgb()
+        for q, bound in [(100, 2), (95, 3), (75, 8)]:
+            out = decode_jpeg(encode_jpeg(img, quality=q))
+            assert out.shape == img.shape
+            err = np.abs(out.astype(int) - img.astype(int)).max()
+            assert err <= bound, (q, err)
+
+    def test_grayscale_near_lossless_at_q100(self):
+        rng = np.random.Generator(np.random.PCG64(3))
+        g = rng.integers(0, 256, (24, 31)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=100))
+        assert out.shape == (24, 31, 1)
+        assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+
+    def test_420_subsampling_decodes(self):
+        """The dominant real-world layout: 2x2 luma sampling with
+        box-averaged chroma; chroma error is bounded on smooth content."""
+        img = _gradient_rgb()
+        out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="420"))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+    def test_restart_markers_decode_identically(self):
+        """RSTn markers reset DC predictors but never change pixels."""
+        img = _gradient_rgb()
+        plain = decode_jpeg(encode_jpeg(img, quality=95))
+        rst = decode_jpeg(encode_jpeg(img, quality=95, restart_interval=3))
+        assert np.array_equal(plain, rst)
+        rst420 = decode_jpeg(
+            encode_jpeg(img, quality=95, subsampling="420", restart_interval=2)
+        )
+        assert np.abs(rst420.astype(int) - img.astype(int)).max() <= 8
+
+    @pytest.mark.parametrize("shape", [(8, 8), (9, 9), (15, 17), (1, 1), (3, 50)])
+    def test_odd_sizes_crop_exactly(self, shape):
+        """Partial MCUs pad by edge replication on encode and crop on
+        decode — output dims always equal input dims."""
+        h, w = shape
+        img = (np.arange(h * w * 3).reshape(h, w, 3) % 251).astype(np.uint8)
+        for sub in ("444", "420"):
+            out = decode_jpeg(encode_jpeg(img, quality=100, subsampling=sub))
+            assert out.shape == (h, w, 3), (shape, sub)
+
+    def test_deterministic(self):
+        img = _gradient_rgb()
+        assert encode_jpeg(img, quality=90) == encode_jpeg(img, quality=90)
+
+
+class TestProbeAndRejects:
+    def test_probe_dims(self):
+        data = encode_jpeg(_gradient_rgb())
+        assert probe_jpeg(data) == (W, H, 3)
+        gray = encode_jpeg(np.zeros((10, 20), dtype=np.uint8))
+        assert probe_jpeg(gray) == (20, 10, 1)
+
+    def test_probe_non_jpeg_is_none(self):
+        assert probe_jpeg(b"") is None
+        assert probe_jpeg(b"\x89PNG\r\n\x1a\n") is None
+        assert probe_jpeg(b"\xff\xd8\xff") is None  # truncated
+
+    def test_progressive_probes_but_rejects_decode(self):
+        """SOF2 (progressive): dims remain probe-able, decode raises — the
+        opaque-bytes fallback contract for non-baseline modes."""
+        data = bytearray(encode_jpeg(_gradient_rgb()))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2
+        assert probe_jpeg(bytes(data)) == (W, H, 3)
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(data))
+
+    def test_truncated_stream_raises_not_hangs(self):
+        data = encode_jpeg(_gradient_rgb())
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:20])  # cut inside the header segments
+
+    def test_corrupt_entropy_data_is_an_error_or_pixels(self):
+        """Flipping bytes inside the entropy stream must either still decode
+        (Huffman happens to resync) or raise ValueError — never hang or
+        crash the interpreter (the multimodal fallback catches Exception)."""
+        data = bytearray(encode_jpeg(_gradient_rgb()))
+        data[-40] ^= 0x55
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.shape == (H, W, 3)
+        except ValueError:
+            pass
+
+
+class TestMultimodalIntegration:
+    def test_jpeg_asset_decodes_to_pixels(self, spark):
+        """decode_and_featurize over a JPEG payload: decoded=True, real
+        dims, features measure pixels (histogram of decoded stream)."""
+        from deduplication_challenge_spark.operators.multimodal import (
+            decode_and_featurize,
+        )
+
+        img = _gradient_rgb()
+        rows = [(1, "image", bytearray(encode_jpeg(img, quality=95)))]
+        assets = spark.createDataFrame(
+            rows, "asset_id long, kind string, payload binary"
+        )
+        got = decode_and_featurize(assets).collect()[0]
+        assert got["decoded"] and got["ok"]
+        assert got["media_format"] == "jpeg"
+        assert (got["width"], got["height"]) == (W, H)
+
+    def test_progressive_jpeg_falls_back_opaque(self, spark):
+        from deduplication_challenge_spark.operators.multimodal import (
+            decode_and_featurize,
+        )
+
+        data = bytearray(encode_jpeg(_gradient_rgb()))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2
+        assets = spark.createDataFrame(
+            [(1, "image", bytes(data))], "asset_id long, kind string, payload binary"
+        )
+        got = decode_and_featurize(assets).collect()[0]
+        assert got["ok"] and not got["decoded"]
+        assert got["media_format"] is None  # opaque bytes, never mislabeled

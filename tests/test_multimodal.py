@@ -340,11 +340,14 @@ class TestFormatRegistry:
             _decode_payload,
         )
 
+        from deduplication_challenge_spark.functions.jpegcodec import encode_jpeg
+
         rng = np.random.Generator(np.random.PCG64(2))
         img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
         samples = [
             ("png", encode_png(img)),
             ("bmp", encode_bmp(img)),
+            ("jpeg", encode_jpeg(img)),
             ("wav", encode_wav(rng.integers(-99, 99, size=(50, 1)).astype(np.int16), 8000)),
             ("avi", encode_avi(rng.integers(0, 256, size=(2, 4, 4, 3), dtype=np.uint8))),
         ]
