@@ -907,3 +907,62 @@ class TestClusterScaleIndex:
             return {r["doc_id"]: r["cluster_id"] for r in assignments_new.collect()}
 
         assert attach("local") == attach("reliable")
+
+
+def test_should_compact_cli_roundtrip(
+    spark, tmp_path_factory, monkeypatch, capsys
+):
+    """The operational loop THROUGH THE CLI verb: attach+extend a bridging
+    batch, `--should-compact` reports compact_due, `--compact` resolves,
+    `--should-compact` clears — tools/submit_job.py driven in-process
+    (getOrCreate() reuses the test session; stop() is stubbed so the shared
+    fixture survives)."""
+    import datetime as dt
+    import json
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    import tools.submit_job as submit_job
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    cfg = DedupConfig()
+    text_a, text_c, text_bridge = _bridge_corpus()
+    mk = lambda u, t: (u, dt.datetime(2025, 1, 1), None, t, "en")
+    idx_pages = spark.createDataFrame(
+        [mk("https://cli/a1", text_a), mk("https://cli/a2", text_a),
+         mk("https://cli/c1", text_c), mk("https://cli/c2", text_c)],
+        PAGES_DDL,
+    )
+    wd = str(tmp_path_factory.mktemp("cli_compact"))
+    DedupPipeline(spark, cfg, wd, include_substring=False).run(idx_pages, "idx")
+    batch_path = str(tmp_path_factory.mktemp("cli_batch") / "batch.parquet")
+    spark.createDataFrame(
+        [mk("https://cli/bridge", text_bridge)], PAGES_DDL
+    ).write.parquet(batch_path)
+
+    def run_cli(*argv):
+        monkeypatch.setattr(sys, "argv", ["submit_job.py", *argv])
+        submit_job.main()
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run_cli("--workdir", wd, "--incremental-index", wd, "--should-compact")
+    assert out["should_compact"]["compact_due"] is False
+
+    out = run_cli("--workdir", wd, "--incremental-index", wd,
+                  "--input", batch_path, "--extend-index")
+    assert out["incremental"]["bridges"] == 1 and out["extended"] is True
+
+    out = run_cli("--workdir", wd, "--incremental-index", wd, "--should-compact")
+    assert out["should_compact"] == {
+        "bridges_accumulated": 1, "batches_extended": 1,
+        "threshold": 1, "compact_due": True,
+    }
+
+    out = run_cli("--workdir", wd, "--incremental-index", wd, "--compact")
+    assert out["compact"]["docs_reclustered"] == 5
+
+    out = run_cli("--workdir", wd, "--incremental-index", wd, "--should-compact")
+    assert out["should_compact"]["compact_due"] is False
+    assert out["should_compact"]["bridges_accumulated"] == 0
