@@ -338,6 +338,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     sel, data_pos = scan
     if len(sel) != len(comps):
         raise ValueError("multi-scan (progressive-style) streams unsupported")
+    if len(comps) == 1:
+        # T.81 A.2.3: a one-component scan is NON-interleaved — the MCU is a
+        # single data unit over a ceil(w/8) x ceil(h/8) grid regardless of
+        # the sampling factors declared in SOF (h=v=2 grayscale is legal and
+        # common when color sources are converted keeping the luma factors).
+        # Normalizing the factors to 1x1 makes the interleaved walk below
+        # degenerate to exactly that order, with restart intervals counting
+        # data units as the spec requires for non-interleaved scans.
+        cid0, _ch0, _cv0, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))

@@ -361,14 +361,22 @@ def cosine_topk_lsh(
     )
     if not with_stats:
         return result
+    # the join excludes self-matches (vec_id != query_id), so in-corpus
+    # queries each lose one possible candidate — subtract the overlap or
+    # candidate_fraction can never reach 1.0 even at brute-force coverage
+    overlap = queries.select("vec_id").join(
+        embeddings.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count("*").alias("_o"))
+    denom = F.col("_n") * F.col("_q") - F.col("_o")
     stats = (
         joined.agg(F.count("*").alias("n_candidates"))
         .crossJoin(embeddings.agg(F.count("*").alias("_n")))
         .crossJoin(queries.agg(F.count("*").alias("_q")))
+        .crossJoin(overlap)
         .select(
             "n_candidates",
-            (F.col("_n") * F.col("_q")).alias("n_possible"),
-            F.round(F.col("n_candidates") / (F.col("_n") * F.col("_q")), 4).alias(
+            denom.cast("long").alias("n_possible"),
+            F.round(F.col("n_candidates") / denom, 4).alias(
                 "candidate_fraction"
             ),
         )

@@ -53,6 +53,13 @@ def stage_checkpoint(df: DataFrame, cfg="local", eager: bool = False) -> DataFra
     return df.localCheckpoint(eager=eager)
 
 
+def fs_join(*parts: str) -> str:
+    """Join path segments with '/' — scheme-preserving (os.path.join would
+    mangle 'hdfs://…' and 'file:/…' workdirs; every filesystem Spark writes
+    to uses '/' separators)."""
+    return "/".join([parts[0].rstrip("/"), *parts[1:]])
+
+
 def _fs(spark, path: str):
     """(FileSystem, Path) for ``path`` via the Hadoop FS API — resolves the
     scheme (none/file/hdfs/s3a/...) exactly as Spark's own writers do, so

@@ -48,6 +48,7 @@ from deduplication_challenge_spark.plans.checkpointing import (
     fs_delete,
     fs_exists,
     fs_listdir,
+    fs_join,
     fs_read_text,
     fs_rename,
     fs_write_text,
@@ -64,11 +65,8 @@ from deduplication_challenge_spark.operators.ingest import extract_pages
 from deduplication_challenge_spark.operators.signatures import compute_signatures
 
 
-def _j(*parts: str) -> str:
-    """Join path segments with '/' — scheme-preserving (os.path.join would
-    mangle 'hdfs://…' and 'file:/…' workdirs; every filesystem Spark writes
-    to uses '/' separators)."""
-    return "/".join([parts[0].rstrip("/"), *parts[1:]])
+# scheme-preserving path join, shared with plans/pipeline.py
+_j = fs_join
 
 
 #: core stage tables whose row counts journal the compact swap (parquet
@@ -186,7 +184,10 @@ class IncrementalDedup:
             # any crash point: finish it, verify counts, clear the journal.
             try:
                 j = json.loads(fs_read_text(spark, cj))
-            except (json.JSONDecodeError, OSError):
+            except Exception:
+                # torn journal writes surface as Py4JJavaError (Hadoop
+                # checksum/EOF), not OSError — catch everything and let the
+                # unreadable-journal refusal below carry the diagnosis
                 j = {}
             if not all(k in j for k in ("tmp", "children", "expected")):
                 raise RuntimeError(
@@ -221,7 +222,21 @@ class IncrementalDedup:
         journal = _j(index_workdir, "extend.journal.json")
         staging = _j(index_workdir, "_extend_staging")
         if fs_exists(spark, journal):
-            j = json.loads(fs_read_text(spark, journal))
+            try:
+                j = json.loads(fs_read_text(spark, journal))
+            except Exception:
+                # unreadable journal = the crash happened DURING the journal
+                # write itself (torn file / checksum mismatch arrives as a
+                # Py4JJavaError).  extend_index writes the journal before it
+                # touches any main table, so the index is still in its
+                # pre-extend state: roll back the staging dir and proceed.
+                if fs_exists(spark, staging):
+                    fs_delete(spark, staging)
+                fs_delete(spark, journal)
+                j = None
+        else:
+            j = None
+        if j is not None:
             actual = {s: self._table_count(s) for s in j["expected"]}
             if actual == j["expected"]:
                 # promote completed; only the cleanup tail was lost — the
@@ -250,7 +265,14 @@ class IncrementalDedup:
 
     def _read_meta(self) -> dict:
         if fs_exists(self.spark, self._meta_path()):
-            return json.loads(fs_read_text(self.spark, self._meta_path()))
+            try:
+                return json.loads(fs_read_text(self.spark, self._meta_path()))
+            except Exception:
+                # the meta file is advisory (compaction hints) plus the
+                # post-extension config authority; a torn write must not
+                # make the index unconstructable.  Fall back to {} — the
+                # config check then uses any surviving stage manifest.
+                return {}
         return {}
 
     def _write_meta(self, meta: dict) -> None:
@@ -289,7 +311,7 @@ class IncrementalDedup:
                     continue
                 try:
                     m = json.loads(fs_read_text(spark, mp))
-                except (json.JSONDecodeError, OSError):
+                except Exception:
                     continue
                 if m.get("config_hash"):
                     got, src = m["config_hash"], f"{stage}.manifest.json"
@@ -308,7 +330,7 @@ class IncrementalDedup:
                 try:
                     m = json.loads(fs_read_text(spark, cm))
                     ok = m.get("config_hash") == want
-                except (json.JSONDecodeError, OSError):
+                except Exception:
                     ok = False
             if not ok:
                 raise RuntimeError(
@@ -710,6 +732,16 @@ class IncrementalDedup:
             spark, journal, json.dumps({"before": before, "expected": expected})
         )
 
+        # pin the config hash in index.meta.json BEFORE deleting the
+        # manifests (the other config_hash authority): a crash anywhere in
+        # the promote must never leave an index with NO source of truth,
+        # where _validate_index_config would silently skip the check and a
+        # later attach under a different config would corrupt cluster
+        # membership.  Counters are updated only after a successful promote
+        # — a rolled-back batch must not count its bridges.
+        self._write_meta(
+            {**self._read_meta(), "config_hash": self.cfg.config_hash()}
+        )
         # manifests become stale the moment promotion starts; delete them
         # first so a crash anywhere below leaves "no manifests" (loud
         # rebuild) rather than "stale manifests" (silent wrong reuse)

@@ -32,6 +32,7 @@ from deduplication_challenge_spark.config import DedupConfig
 from deduplication_challenge_spark.plans.checkpointing import (
     fs_delete,
     fs_exists,
+    fs_join,
     fs_listdir,
     fs_local_path,
     fs_mkdirs,
@@ -123,10 +124,10 @@ class DedupPipeline:
 
     # --- manifest plumbing -------------------------------------------------
     def _stage_dir(self, stage: str) -> str:
-        return f"{self.workdir.rstrip('/')}/{stage}"
+        return fs_join(self.workdir, stage)
 
     def _manifest_path(self, stage: str) -> str:
-        return f"{self.workdir.rstrip('/')}/{stage}.manifest.json"
+        return fs_join(self.workdir, f"{stage}.manifest.json")
 
     def _fingerprint(self, stage: str, upstream_fp: str, input_desc: str) -> str:
         payload = "|".join(

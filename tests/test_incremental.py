@@ -584,6 +584,94 @@ class TestExtendAtomicity:
             assert spark.read.parquet(os.path.join(wd, s)).count() == n
 
 
+class TestRecoveryHardening:
+    """Round-5 review closures: torn journal/meta files must recover per the
+    write-order guarantees, and the config-hash authority must survive a
+    crash anywhere inside extend_index's promote."""
+
+    def _built(self, spark, micro_corpus, tmp_path_factory, tag):
+        cfg = DedupConfig()
+        wd = str(tmp_path_factory.mktemp(tag))
+        pages = spark.createDataFrame(
+            [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang"))
+             for r in micro_corpus.rows[:10]],
+            PAGES_DDL,
+        )
+        DedupPipeline(spark, cfg, wd, include_substring=False).run(pages, "t")
+        return cfg, wd
+
+    def test_torn_extend_journal_rolls_back(
+        self, spark, micro_corpus, tmp_path_factory
+    ):
+        """An unreadable extend journal = the crash happened DURING the
+        journal write, which precedes any main-table mutation — so the
+        index is still pre-extend: roll back staging + journal, proceed."""
+        import os
+
+        cfg, wd = self._built(spark, micro_corpus, tmp_path_factory, "torn_ej")
+        with open(os.path.join(wd, "extend.journal.json"), "w") as f:
+            f.write('{"before": {"inge')  # torn mid-write
+        os.makedirs(os.path.join(wd, "_extend_staging"), exist_ok=True)
+        IncrementalDedup(spark, cfg, wd)  # no raise
+        assert not os.path.exists(os.path.join(wd, "extend.journal.json"))
+        assert not os.path.exists(os.path.join(wd, "_extend_staging"))
+
+    def test_torn_meta_is_advisory_not_fatal(
+        self, spark, micro_corpus, tmp_path_factory
+    ):
+        """index.meta.json is advisory (compaction hints) + the
+        post-extension config authority; a torn write must not make the
+        index unconstructable — fall back to the surviving manifests."""
+        import os
+
+        cfg, wd = self._built(spark, micro_corpus, tmp_path_factory, "torn_meta")
+        with open(os.path.join(wd, "index.meta.json"), "w") as f:
+            f.write('{"config_hash": "ab')  # torn mid-write
+        inc = IncrementalDedup(spark, cfg, wd)
+        assert inc.should_compact()["bridges_accumulated"] == 0
+
+    def test_config_authority_survives_promote_crash(
+        self, spark, micro_corpus, tmp_path_factory, monkeypatch
+    ):
+        """extend_index pins the config hash in index.meta.json BEFORE
+        deleting the stage manifests: a crash inside the promote (here:
+        during manifest deletion) must leave at least one config_hash
+        source of truth, so a later attach under a DIFFERENT config still
+        refuses instead of silently corrupting cluster membership."""
+        import json
+        import os
+
+        import deduplication_challenge_spark.plans.incremental as inc_mod
+
+        cfg, wd = self._built(spark, micro_corpus, tmp_path_factory, "authority")
+        inc = IncrementalDedup(spark, cfg, wd)
+        batch = spark.createDataFrame(
+            [tuple(r[c] for c in ("url", "warc_ts", "html", "text", "lang"))
+             for r in micro_corpus.rows[10:13]],
+            PAGES_DDL,
+        )
+        inc.run(batch)
+        real_fs_delete = inc_mod.fs_delete
+        with monkeypatch.context() as m:
+            def crashing(spark_, path):
+                if path.endswith(".manifest.json"):
+                    raise RuntimeError("simulated mid-promote crash")
+                return real_fs_delete(spark_, path)
+
+            m.setattr(inc_mod, "fs_delete", crashing)
+            with pytest.raises(RuntimeError, match="simulated mid-promote"):
+                inc.extend_index()
+        # the meta authority landed before the crash window opened
+        with open(os.path.join(wd, "index.meta.json")) as f:
+            assert json.load(f)["config_hash"] == cfg.config_hash()
+        # a different config must refuse even though manifests may be gone
+        cfg2 = DedupConfig(shingle_k=cfg.shingle_k + 1)
+        with pytest.raises(RuntimeError, match="config_hash"):
+            IncrementalDedup(spark, cfg2, wd)
+        # the original config recovers (journal rolled back) and constructs
+        IncrementalDedup(spark, cfg, wd)
+
+
 def test_line_dedup_config_rejected_for_delta_but_not_compact(
     spark, micro_corpus, tmp_path_factory
 ):

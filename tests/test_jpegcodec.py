@@ -71,6 +71,24 @@ class TestRoundtrip:
             out = decode_jpeg(encode_jpeg(img, quality=100, subsampling=sub))
             assert out.shape == (h, w, 3), (shape, sub)
 
+    def test_single_component_scan_is_noninterleaved(self):
+        """T.81 A.2.3: a one-component scan is NON-interleaved, so SOF
+        sampling factors h=v=2 (legal, common when color sources are
+        converted keeping the luma factors) must not change the data-unit
+        walk.  Patch the SOF of a 1x1 grayscale stream to declare 2x2: the
+        entropy stream is unchanged, so the decode must be too — including
+        restart-marker MCU accounting."""
+        rng = np.random.Generator(np.random.PCG64(7))
+        g = rng.integers(0, 256, (H, W)).astype(np.uint8)
+        for kw in ({}, {"restart_interval": 3}):
+            ref = decode_jpeg(encode_jpeg(g, quality=95, **kw))
+            buf = bytearray(encode_jpeg(g, quality=95, **kw))
+            sof = bytes(buf).find(b"\xff\xc0")
+            # SOF0 body: len(2) prec(1) h(2) w(2) ncomp(1) cid(1) hv(1)
+            assert sof > 0 and buf[sof + 11] == 0x11
+            buf[sof + 11] = 0x22
+            assert np.array_equal(decode_jpeg(bytes(buf)), ref)
+
     def test_deterministic(self):
         img = _gradient_rgb()
         assert encode_jpeg(img, quality=90) == encode_jpeg(img, quality=90)

@@ -242,7 +242,9 @@ class TestMultiprobe:
             n_planes=5, n_tables=12, seed=42, n_probes=2, with_stats=True,
         )
         trow = topk_stats.collect()[0]
-        assert trow["n_possible"] == n * 10
+        # all 10 queries come from the corpus and self-matches are excluded,
+        # so each query has n-1 possible candidates, not n
+        assert trow["n_possible"] == n * 10 - 10
         assert 0 < trow["candidate_fraction"] <= 1.0
 
     def test_n_probes_validated(self, spark):
