@@ -389,6 +389,28 @@ def q_boilerplate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (operators/quality.gopher_quality):
+    word-count / mean-word-length / symbol-ratio / alpha-word-fraction /
+    stopword-hit rules with a composite pass flag.  Pure projection — runs
+    at scan speed, no shuffle (plan-audited)."""
+    from .operators.quality import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def q_c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning statistics (operators/quality.c4_line_stats).
+    Driver documents are single-line without terminal punctuation, so the
+    flags are uniformly 'dropped' here — the multi-line behavior (kept
+    lines, kept_chars, brace/lorem flags) is pinned by
+    tests/test_quality.py fixtures; this query pins the degenerate case
+    differentially against DuckDB."""
+    from .operators.quality import c4_line_stats
+
+    return c4_line_stats(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup (operators/linededup.dedup_lines) made driver-
     visible: driver documents are single-line, so 'paragraphs' are derived
@@ -939,6 +961,8 @@ QUERIES = {
     "longest_doc_per_lang": q_longest_doc_per_lang,
     "doc_repetition_signals": q_doc_repetition_signals,
     "boilerplate_rate_by_source": q_boilerplate_rate_by_source,
+    "gopher_quality_flags": q_gopher_quality_flags,
+    "c4_line_filter_stats": q_c4_line_filter_stats,
     "paragraph_dedup_docs": q_paragraph_dedup_docs,
     "contamination_flags": q_contamination_flags,
     "hash_sample_by_source": q_hash_sample_by_source,
@@ -1175,6 +1199,68 @@ ORACLE_SQL = {
                    AS boilerplate_rate
         FROM occ o LEFT JOIN hot h ON o.gram = h.gram
         GROUP BY o.source
+    """,
+    "gopher_quality_flags": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '') AS w
+            FROM documents
+            WHERE length(trim(text)) > 0
+        ), m AS (
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) * 1.0 / len(w) AS mwl,
+                   len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(w) AS awf,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.|…')) * 1.0 / len(w) AS sym,
+                   (CASE WHEN regexp_matches(text, '\\bthe\\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(text, '\\ba\\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(text, '\\bof\\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(text, '\\bto\\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(text, '\\band\\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(text, '\\bin\\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(text, '\\bis\\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(text, '\\bthat\\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(text, '\\bfor\\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(text, '\\bit\\b') THEN 1 ELSE 0 END) AS sw
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(mwl, 4) AS mean_word_len,
+               round(awf, 4) AS alpha_word_frac,
+               round(sym, 4) AS symbol_ratio,
+               CAST(sw AS BIGINT) AS stopword_hits,
+               CASE WHEN n_words BETWEEN 50 AND 100000
+                         AND mwl BETWEEN 3.0 AND 10.0
+                         AND sym < 0.1
+                         AND awf > 0.8
+                         AND sw >= 2
+                    THEN 1 ELSE 0 END AS passes_gopher
+        FROM m
+    """,
+    "c4_line_filter_stats": """
+        WITH base AS (
+            SELECT doc_id, text, string_split(text, chr(10)) AS lines
+            FROM documents
+            WHERE length(trim(text)) > 0
+        ), k AS (
+            SELECT doc_id, text, lines,
+                   list_filter(lines, ln ->
+                       len(list_filter(regexp_split_to_array(ln, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) >= 3
+                       AND regexp_matches(trim(ln), '[.!?"]$')) AS kept,
+                   CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
+                   CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               CAST(coalesce(list_sum(list_transform(kept, ln -> length(trim(ln)))), 0) AS BIGINT)
+                   AS kept_chars,
+               has_brace, has_lorem,
+               CASE WHEN len(kept) >= 3 AND has_brace = 0 AND has_lorem = 0
+                    THEN 1 ELSE 0 END AS passes_c4
+        FROM k
     """,
     "paragraph_dedup_docs": """
         WITH toks AS (
