@@ -250,9 +250,10 @@ def probe_image(data: bytes) -> tuple[str, int, int, int] | None:
 def decode_image(data: bytes) -> np.ndarray | None:
     """Decode PNG/BMP/JPEG payloads to (H, W, C) uint8; None when the
     payload is not a supported image (callers fall back to opaque-bytes
-    treatment).  JPEG decode is baseline-only (functions/jpegcodec.py):
-    progressive/arithmetic streams probe (dims readable) but raise on
-    decode, landing on the same opaque fallback."""
+    treatment).  JPEG decode covers baseline, extended-sequential and
+    progressive Huffman streams (functions/jpegcodec.py); arithmetic-coded
+    streams probe (dims readable) but raise on decode, landing on the same
+    opaque fallback."""
     meta = probe_image(data)
     if meta is None:
         return None

@@ -2,21 +2,27 @@
 the dominant real-world image format in this container (no Pillow shipped).
 
 Implemented from the public specs only: ITU-T T.81 (ISO/IEC 10918-1)
-baseline sequential DCT — 8-bit samples, Huffman entropy coding, grayscale
-and YCbCr (JFIF color transform), arbitrary h/v sampling factors up to 2
-(4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, nearest-neighbor upsampling),
-restart markers honored.  The encoder (test-fixture generator, mirroring
-encode_png/encode_bmp) emits baseline 4:4:4 / grayscale streams with the
-Annex K quantization and Huffman tables; the decoder reads the tables FROM
-the stream (DQT/DHT segments), never from constants, so it decodes
-third-party baseline files, not just its own output.
+baseline sequential DCT AND progressive DCT (SOF2) — 8-bit samples, Huffman
+entropy coding, grayscale and YCbCr (JFIF color transform), arbitrary h/v
+sampling factors up to 2 (4:4:4 / 4:2:2 / 4:2:0 chroma subsampling,
+nearest-neighbor upsampling), restart markers honored.  The decoder
+accumulates every scan (interleaved or not, spectral selection, successive
+approximation with EOB-run coding per T.81 G.2) into per-component
+coefficient buffers and runs one vectorized IDCT at the end — which also
+makes multi-scan SEQUENTIAL streams (one scan per component) decode for
+free.  The encoder (test-fixture generator, mirroring encode_png /
+encode_bmp) emits baseline 4:4:4 / grayscale streams with the Annex K
+quantization and Huffman tables, or — ``progressive=True`` — an SOF2
+stream with a DC-first/DC-refine + banded AC-first/AC-refine scan script;
+the decoder reads the tables FROM the stream (DQT/DHT segments), never
+from constants, so it decodes third-party files, not just its own output.
 
-NOT a general-purpose library: progressive (SOF2), arithmetic coding,
-hierarchical modes, 12-bit precision and sampling factors > 2 raise
-ValueError — callers (operators/multimodal.py) treat undecodable payloads
-as opaque bytes, the documented fallback.  JPEG is lossy by construction:
-roundtrip tests pin an ERROR BOUND, not byte equality (the PNG/BMP codecs
-keep the byte-exact pins).
+NOT a general-purpose library: arithmetic coding, hierarchical modes,
+12-bit precision and sampling factors > 2 raise ValueError — callers
+(operators/multimodal.py) treat undecodable payloads as opaque bytes, the
+documented fallback.  JPEG is lossy by construction: roundtrip tests pin
+an ERROR BOUND, not byte equality (the PNG/BMP codecs keep the byte-exact
+pins).
 """
 
 from __future__ import annotations
@@ -119,9 +125,10 @@ _x = np.arange(8)
 _DCT = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16) * np.sqrt(2 / 8)
 _DCT[0, :] = np.sqrt(1 / 8)
 
-#: baseline SOF markers decoded here (C0 baseline, C1 extended-sequential
-#: Huffman — same scan structure); other SOFn are mode markers we reject
-_SOF_SUPPORTED = (0xC0, 0xC1)
+#: SOF markers decoded here (C0 baseline, C1 extended-sequential Huffman —
+#: same scan structure — and C2 progressive); other SOFn are mode markers
+#: we reject (arithmetic, lossless, hierarchical)
+_SOF_SUPPORTED = (0xC0, 0xC1, 0xC2)
 _SOF_ALL = tuple(
     m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
 )
@@ -272,15 +279,226 @@ def _extend(v: int, size: int) -> int:
 # decoder
 # ---------------------------------------------------------------------------
 
+def _next_marker(data: bytes, pos: int) -> tuple[int | None, int]:
+    """Scan forward from ``pos`` (inside/after entropy data) to the next
+    non-RST marker; returns (marker, position_of_its_0xFF)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        m = data[pos + 1]
+        if m in (0x00, 0xFF):  # stuffed FF / fill byte
+            pos += 2 if m == 0x00 else 1
+            continue
+        if 0xD0 <= m <= 0xD7:  # stray RST inside entropy data
+            pos += 2
+            continue
+        return m, pos
+    return None, n
+
+
+def _expect_rst(reader: _BitReader) -> None:
+    """Consume the restart marker the caller's unit count says is due."""
+    if reader.marker is None:
+        reader._fill()  # surface the pending marker
+    if reader.marker is None or not (0xD0 <= reader.marker <= 0xD7):
+        raise ValueError("expected restart marker")
+    reader.align_after_rst()
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    comps: list[tuple[int, int, int, int]],
+    dims: tuple[int, int, int, int, int, int],
+    sel: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict[tuple[int, int], dict],
+    restart_interval: int,
+    coefs: list[np.ndarray],
+) -> int:
+    """Decode ONE entropy-coded scan into the per-component coefficient
+    buffers (zigzag order); returns the stream position after the scan's
+    entropy data.  Handles every T.81 Huffman scan shape: interleaved or
+    single-component, full-band sequential, progressive spectral selection
+    and successive approximation (first + refinement, EOB runs per G.2)."""
+    w, h, hmax, vmax, mcus_x, mcus_y = dims
+    if not (0 <= ss <= se <= 63):
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    if ss > 0 and len(sel) != 1:
+        raise ValueError("AC scans must be single-component (T.81 B.2.3)")
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def _tables(dc_id: int, ac_id: int) -> tuple[dict | None, dict | None]:
+        dc_tab = huff.get((0, dc_id))
+        ac_tab = huff.get((1, ac_id))
+        if ss == 0 and ah == 0 and dc_tab is None:
+            raise ValueError("missing DC Huffman table")
+        if (se > 0 or ss > 0) and ac_tab is None:
+            raise ValueError("missing AC Huffman table")
+        return dc_tab, ac_tab
+
+    def _decode_unit(ci: int, blk: np.ndarray, dc_tab, ac_tab) -> None:
+        nonlocal eobrun
+        k = ss
+        if ss == 0:
+            if ah == 0:  # DC first (or sequential full-band start)
+                size = _decode_huff(reader, dc_tab)
+                pred[ci] += _extend(reader.read_bits(size), size)
+                blk[0] = pred[ci] << al
+            else:  # DC refinement: one bit per data unit
+                if reader.read_bit():
+                    blk[0] |= p1
+            k = 1
+            if se == 0:
+                return
+        if ah == 0:  # AC first pass (sequential or progressive)
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            while k <= se:
+                rs = _decode_huff(reader, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    eobrun -= 1  # this block's EOB consumed now
+                    return
+                k += r
+                if k > se:
+                    raise ValueError("AC index overrun")
+                blk[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+            return
+        # AC refinement (T.81 G.2 / the classic correction-bit walk):
+        # the run length r counts only ZERO-HISTORY coefficients; every
+        # nonzero-history coefficient passed costs one correction bit
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(reader, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("refinement scan with size > 1")
+                    newval = p1 if reader.read_bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # fall through to the EOB-run correction sweep
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if reader.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement index overrun")
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    unit_index = 0
+
+    def _restart_boundary() -> None:
+        nonlocal pred, eobrun
+        if restart_interval and unit_index and unit_index % restart_interval == 0:
+            _expect_rst(reader)
+            pred = [0] * len(comps)
+            eobrun = 0
+
+    if len(sel) > 1:  # interleaved: MCU walk over the padded grid
+        for _my in range(mcus_y):
+            for _mx in range(mcus_x):
+                _restart_boundary()
+                for ci, dc_id, ac_id in sel:
+                    _cid, ch, cv, _tq = comps[ci]
+                    dc_tab, ac_tab = _tables(dc_id, ac_id)
+                    for by in range(cv):
+                        for bx in range(ch):
+                            _decode_unit(
+                                ci,
+                                coefs[ci][_my * cv + by, _mx * ch + bx],
+                                dc_tab, ac_tab,
+                            )
+                unit_index += 1
+    else:  # non-interleaved: row-major walk over the component's own grid
+        ci, dc_id, ac_id = sel[0]
+        _cid, ch, cv, _tq = comps[ci]
+        dc_tab, ac_tab = _tables(dc_id, ac_id)
+        comp_w = -(-w * ch // hmax)  # ceil(w * ch / hmax)
+        comp_h = -(-h * cv // vmax)
+        nbx = -(-comp_w // 8)
+        nby = -(-comp_h // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                _restart_boundary()
+                _decode_unit(ci, coefs[ci][by, bx], dc_tab, ac_tab)
+                unit_index += 1
+
+    # the reader may have read ahead in whole bytes; back up to the first
+    # unconsumed byte so the marker walk resumes correctly
+    if reader.marker is not None:
+        return reader.pos
+    return reader.pos - (reader.nbits // 8)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (H, W, C) uint8 (C = 1 grayscale, 3 RGB)."""
+    """JPEG bytes (baseline, extended-sequential or progressive Huffman) ->
+    (H, W, C) uint8 (C = 1 grayscale, 3 RGB)."""
     data = bytes(data)
+    if not data.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decoder table
-    frame = None  # (W, H, [(cid, h, v, tq)])
-    scan = None   # ([(comp_idx, dc_id, ac_id)], data_pos)
+    frame = None  # (w, h, comps)
     restart_interval = 0
-    for marker, body, off in _segments(data):
+    coefs: list[np.ndarray] = []
+    dims = None
+    saw_scan = False
+    n = len(data)
+    pos = 2
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        seg_end = pos + 2 + length
         if marker == 0xDB:  # DQT — possibly several tables per segment
             p = 0
             while p < len(body):
@@ -307,8 +525,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in _SOF_ALL:
             if marker not in _SOF_SUPPORTED:
                 raise ValueError(
-                    f"JPEG mode 0xFF{marker:02X} unsupported (baseline only)"
+                    f"JPEG mode 0xFF{marker:02X} unsupported"
                 )
+            if frame is not None:
+                raise ValueError("multiple SOF frames (hierarchical?)")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported")
@@ -319,8 +539,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if not (1 <= ch <= 2 and 1 <= cv <= 2):
                     raise ValueError(f"sampling factors {ch}x{cv} unsupported")
                 comps.append((cid, ch, cv, tq))
+            if ncomp == 1:
+                # T.81 A.2.3: every scan on a one-component frame is
+                # NON-interleaved — the data-unit grid is ceil(w/8) x
+                # ceil(h/8) regardless of the declared sampling factors
+                # (h=v=2 grayscale is legal and common when color sources
+                # are converted keeping the luma factors).  Normalizing to
+                # 1x1 makes both walks degenerate to exactly that order.
+                cid0, _ch0, _cv0, tq0 = comps[0]
+                comps = [(cid0, 1, 1, tq0)]
             frame = (w, h, comps)
-        elif marker == 0xDA:  # SOS
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            dims = (w, h, hmax, vmax, mcus_x, mcus_y)
+            coefs = [
+                np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+                for (_cid, ch, cv, _tq) in comps
+            ]
+        elif marker == 0xDA:  # SOS: decode the scan, resume at next marker
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
@@ -329,89 +567,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
                 sel.append((by_id[cid], tt >> 4, tt & 0x0F))
-            scan = (sel, off + len(body))
-            break
-    if frame is None or scan is None:
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            end = _decode_scan(
+                data, seg_end, frame[2], dims, sel,
+                ss, se, a >> 4, a & 0x0F,
+                huff, restart_interval, coefs,
+            )
+            saw_scan = True
+            _m, pos = _next_marker(data, end)
+            continue
+        pos = seg_end
+    if frame is None or not saw_scan:
         raise ValueError("missing SOF/SOS")
 
+    # dequantize + IDCT every component in one vectorized pass
     w, h, comps = frame
-    sel, data_pos = scan
-    if len(sel) != len(comps):
-        raise ValueError("multi-scan (progressive-style) streams unsupported")
-    if len(comps) == 1:
-        # T.81 A.2.3: a one-component scan is NON-interleaved — the MCU is a
-        # single data unit over a ceil(w/8) x ceil(h/8) grid regardless of
-        # the sampling factors declared in SOF (h=v=2 grayscale is legal and
-        # common when color sources are converted keeping the luma factors).
-        # Normalizing the factors to 1x1 makes the interleaved walk below
-        # degenerate to exactly that order, with restart intervals counting
-        # data units as the spec requires for non-interleaved scans.
-        cid0, _ch0, _cv0, tq0 = comps[0]
-        comps = [(cid0, 1, 1, tq0)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
-        for (_cid, ch, cv, _tq) in comps
-    ]
-    idct_t = _DCT.T
-
-    reader = _BitReader(data, data_pos)
-    pred = [0] * len(comps)
-    mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                # skip to the RST marker boundary and reset DC predictors
-                if reader.marker is None:
-                    reader._fill()  # surface the pending marker
-                if reader.marker is None or not (0xD0 <= reader.marker <= 0xD7):
-                    raise ValueError("expected restart marker")
-                reader.align_after_rst()
-                pred = [0] * len(comps)
-            for ci, dc_id, ac_id in sel:
-                _cid, ch, cv, tq = comps[ci]
-                if tq not in qtables:
-                    raise ValueError(f"missing quantization table {tq}")
-                dc_tab = huff.get((0, dc_id))
-                ac_tab = huff.get((1, ac_id))
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError("missing Huffman table")
-                q = qtables[tq]
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _decode_huff(reader, dc_tab)
-                        diff = _extend(reader.read_bits(size), size)
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(reader, ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        coeff = np.zeros(64, dtype=np.float64)
-                        coeff[ZIGZAG] = zz * q[ZIGZAG]
-                        block = idct_t @ coeff.reshape(8, 8) @ _DCT + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_index += 1
-
-    # upsample subsampled planes (nearest-neighbor), crop to (h, w)
     out_planes = []
-    for (plane, (_cid, ch, cv, _tq)) in zip(planes, comps):
+    for (buf, (_cid, ch, cv, tq)) in zip(coefs, comps):
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+        q = qtables[tq]
+        nby, nbx, _ = buf.shape
+        nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+        nat[:, :, ZIGZAG] = buf * q[ZIGZAG]
+        blocks = (
+            np.einsum("ij,nmjk,kl->nmil", _DCT.T, nat.reshape(nby, nbx, 8, 8), _DCT)
+            + 128.0
+        )
+        plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        # upsample subsampled planes (nearest-neighbor), crop to (h, w)
         if ch != hmax:
             plane = np.repeat(plane, hmax // ch, axis=1)
         if cv != vmax:
@@ -464,6 +650,23 @@ class _BitWriter:
         self.out += bytes([0xFF, 0xD0 + m])
 
 
+#: AC Huffman table for the progressive encoder's scans.  The Annex K AC
+#: tables carry no EOBn symbols with n > 0 (0x10..0xE0) — their 16-bit
+#: level is within one code of Kraft-full, so they cannot be extended.
+#: Progressive fixtures instead use this uniform 8-bit canonical table over
+#: every symbol an SOF2 AC scan can emit: EOBn (r 0..14), ZRL, and
+#: (r, size) for r 0..15, size 1..10 — 176 codes, Kraft 176/256 < 1, and
+#: no code is all-1-bits.  Wasteful compression, spec-valid stream; the
+#: decoder reads whatever DHT the stream carries, so nothing special-cases
+#: this table on the read side.
+HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+)
+
+
 def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     """IJG quality scaling of an Annex K table (public libjpeg convention)."""
     quality = min(100, max(1, quality))
@@ -481,18 +684,136 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _quantize_plane(plane: np.ndarray, q: np.ndarray, nby: int, nbx: int) -> np.ndarray:
+    """(H, W) float plane -> (nby, nbx, 64) int64 quantized coefficients in
+    ZIGZAG order; partial edge blocks are edge-replicated deterministically."""
+    yy = np.clip(np.arange(nby * 8), 0, plane.shape[0] - 1)
+    xx = np.clip(np.arange(nbx * 8), 0, plane.shape[1] - 1)
+    p = plane[np.ix_(yy, xx)] - 128.0
+    blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coeff = np.einsum("ij,nmjk,lk->nmil", _DCT, blocks, _DCT)
+    return np.round(coeff.reshape(nby, nbx, 64)[:, :, ZIGZAG] / q[ZIGZAG]).astype(
+        np.int64
+    )
+
+
+class _ProgACScan:
+    """Per-scan AC entropy state for the progressive encoder: the EOB run
+    and (for refinement scans) the correction bits buffered until the next
+    Huffman symbol flushes them (T.81 G.1.2.3 / the classic two-buffer
+    formulation)."""
+
+    def __init__(self, writer: _BitWriter, codes: dict[int, tuple[int, int]]) -> None:
+        self.w = writer
+        self.codes = codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def symbol(self, sym: int) -> None:
+        code, ln = self.codes[sym]
+        self.w.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.symbol(nbits << 4)
+            if nbits:
+                self.w.write(self.eobrun, nbits)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.w.write(bit, 1)
+        self.pending = []
+
+    def end_block(self, carried_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending.extend(carried_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def _emit_ac_first(st: _ProgACScan, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    """First-pass AC coding of one block's band (Ah = 0), point transform
+    ``Al`` applied magnitude-wise (T.81 G.1.2.2)."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        av = abs(v) >> al
+        vals.append(av if v >= 0 else -av)
+    nz = [i for i, v in enumerate(vals) if v != 0]
+    if not nz:
+        st.end_block([])
+        return
+    st.flush_eobrun()
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            st.symbol(0xF0)  # ZRL
+            run -= 16
+        size, bits = _magnitude(v)
+        st.symbol((run << 4) | size)
+        st.w.write(bits, size)
+        run = 0
+    if nz[-1] < se - ss:  # trailing zeros: this block contributes an EOB
+        st.end_block([])
+
+
+def _emit_ac_refine(st: _ProgACScan, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    """Refinement AC coding of one block's band (Ah = Al + 1): newly
+    significant coefficients carry (run, 1) symbols + a sign bit, history
+    coefficients a buffered correction bit each (T.81 G.1.2.3)."""
+    t = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # 1 past the last NEWLY significant coefficient
+    for i, v in enumerate(t):
+        if v == 1:
+            eob = i + 1
+    run = 0
+    br: list[int] = []  # correction bits since the last emitted symbol
+    for i, v in enumerate(t):
+        if v == 0:
+            run += 1
+            continue
+        while run > 15 and i < eob:
+            st.flush_eobrun()
+            st.symbol(0xF0)
+            run -= 16
+            for bit in br:
+                st.w.write(bit, 1)
+            br = []
+        if v > 1:
+            br.append(v & 1)
+            continue
+        st.flush_eobrun()
+        st.symbol((run << 4) | 1)
+        st.w.write(0 if int(zz[ss + i]) < 0 else 1, 1)
+        for bit in br:
+            st.w.write(bit, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.end_block(br)
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 -> baseline JPEG
-    bytes (Annex K tables).  ``subsampling='420'`` emits 2x2-sampled luma
-    with box-averaged chroma (the dominant real-world layout);
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs —
-    both exist mainly so the DECODER's subsampling/restart paths are
-    exercised by fixtures rather than only by third-party files."""
+    """(H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 -> JPEG bytes
+    (Annex K quantization tables).  ``subsampling='420'`` emits 2x2-sampled
+    luma with box-averaged chroma (the dominant real-world layout);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs;
+    ``progressive=True`` emits an SOF2 stream with the scan script
+    DC-first(Al=1) -> DC-refine, then per component AC 1..5 / 6..63
+    first-pass(Al=1) and refinement scans — exercising every progressive
+    decode path (spectral selection, successive approximation, EOB runs).
+    All three exist mainly so the DECODER's paths are exercised by fixtures
+    rather than only by third-party files."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
@@ -500,6 +821,8 @@ def encode_jpeg(
         raise ValueError("JPEG encoder takes 1 or 3 channels")
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is a baseline-encoder option")
     px = arr.astype(np.float64)
     if c == 3:
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
@@ -533,66 +856,22 @@ def encode_jpeg(
     q_chroma = _quality_scale(QUANT_CHROMA, quality)
     qt = [q_luma] + ([q_chroma, q_chroma] if c == 3 else [])
     dc_spec = [HUFF_DC_LUMA] + ([HUFF_DC_CHROMA] * 2 if c == 3 else [])
-    ac_spec = [HUFF_AC_LUMA] + ([HUFF_AC_CHROMA] * 2 if c == 3 else [])
     dc_codes = [_build_codes(*s) for s in dc_spec]
-    ac_codes = [_build_codes(*s) for s in ac_spec]
 
-    def _emit_block(writer: "_BitWriter", plane: np.ndarray, y0: int, x0: int,
-                    ci: int, pred: list[int]) -> None:
-        # edge replication pads partial blocks deterministically
-        yy = np.clip(np.arange(y0, y0 + 8), 0, plane.shape[0] - 1)
-        xx = np.clip(np.arange(x0, x0 + 8), 0, plane.shape[1] - 1)
-        block = plane[np.ix_(yy, xx)] - 128.0
-        coeff = _DCT @ block @ _DCT.T
-        zz = np.round(coeff.reshape(-1)[ZIGZAG] / qt[ci][ZIGZAG]).astype(np.int64)
-        diff = int(zz[0]) - pred[ci]
-        pred[ci] = int(zz[0])
-        size, bits = _magnitude(diff)
-        code, ln = dc_codes[ci][size]
-        writer.write(code, ln)
-        if size:
-            writer.write(bits, size)
-        run = 0
-        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-        for k in range(1, 64):
-            v = int(zz[k])
-            if v == 0:
-                if k > last_nz:
-                    break
-                run += 1
-                if run == 16:
-                    zc, zl = ac_codes[ci][0xF0]  # ZRL
-                    writer.write(zc, zl)
-                    run = 0
-                continue
-            size, bits = _magnitude(v)
-            code, ln = ac_codes[ci][(run << 4) | size]
-            writer.write(code, ln)
-            writer.write(bits, size)
-            run = 0
-        if last_nz < 63:
-            ec, el = ac_codes[ci][0x00]  # EOB
-            writer.write(ec, el)
+    # quantized coefficients over the MCU-padded grid, per component
+    zzs = [
+        _quantize_plane(planes[ci], qt[ci], mcus_y * cv, mcus_x * ch)
+        for ci, (ch, cv) in enumerate(factors)
+    ]
+    # non-interleaved (per-component) grids: only these blocks are coded in
+    # single-component scans (T.81 A.2.2) — the padded remainder is not
+    def _ceil(a: int, b: int) -> int:
+        return -(-a // b)
 
-    writer = _BitWriter()
-    pred = [0] * len(planes)
-    mcu_index = 0
-    rst_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                writer.emit_restart(rst_count % 8)
-                rst_count += 1
-                pred = [0] * len(planes)
-            for ci, plane in enumerate(planes):
-                ch, cv = factors[ci]
-                for by in range(cv):
-                    for bx in range(ch):
-                        _emit_block(
-                            writer, plane,
-                            (my * cv + by) * 8, (mx * ch + bx) * 8, ci, pred,
-                        )
-            mcu_index += 1
+    ni_grid = [
+        (_ceil(_ceil(h * cv, vmax), 8), _ceil(_ceil(w * ch, hmax), 8))
+        for (ch, cv) in factors
+    ]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -609,19 +888,140 @@ def encode_jpeg(
     for i in range(c):
         ch, cv = factors[i]
         sof += bytes([i + 1, (ch << 4) | cv, 0 if i == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
+
+    if not progressive:
+        ac_spec = [HUFF_AC_LUMA] + ([HUFF_AC_CHROMA] * 2 if c == 3 else [])
+        ac_codes = [_build_codes(*s) for s in ac_spec]
+        writer = _BitWriter()
+        pred = [0] * c
+        mcu_index = 0
+        rst_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                    writer.emit_restart(rst_count % 8)
+                    rst_count += 1
+                    pred = [0] * c
+                for ci in range(c):
+                    ch, cv = factors[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            zz = zzs[ci][my * cv + by, mx * ch + bx]
+                            diff = int(zz[0]) - pred[ci]
+                            pred[ci] = int(zz[0])
+                            size, bits = _magnitude(diff)
+                            code, ln = dc_codes[ci][size]
+                            writer.write(code, ln)
+                            if size:
+                                writer.write(bits, size)
+                            run = 0
+                            last_nz = (
+                                int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                            )
+                            for k in range(1, 64):
+                                v = int(zz[k])
+                                if v == 0:
+                                    if k > last_nz:
+                                        break
+                                    run += 1
+                                    if run == 16:
+                                        zc, zl = ac_codes[ci][0xF0]  # ZRL
+                                        writer.write(zc, zl)
+                                        run = 0
+                                    continue
+                                size, bits = _magnitude(v)
+                                code, ln = ac_codes[ci][(run << 4) | size]
+                                writer.write(code, ln)
+                                writer.write(bits, size)
+                                run = 0
+                            if last_nz < 63:
+                                ec, el = ac_codes[ci][0x00]  # EOB
+                                writer.write(ec, el)
+                mcu_index += 1
+        dht = b""
+        specs = [(0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA)]
+        if c == 3:
+            specs += [(0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA)]
+        for tc, th, (bits, vals) in specs:
+            dht += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += seg(0xC4, dht)
+        sos = bytes([c])
+        for i in range(c):
+            sos += bytes([i + 1, 0 if i == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += writer.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # --- progressive: DHTs up front, then the scan script -----------------
+    ac_prog_codes = _build_codes(*HUFF_AC_PROG)
     dht = b""
-    specs = [(0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA)]
+    specs = [(0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_PROG)]
     if c == 3:
-        specs += [(0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA)]
+        specs += [(0, 1, HUFF_DC_CHROMA)]
     for tc, th, (bits, vals) in specs:
         dht += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
     out += seg(0xC4, dht)
-    sos = bytes([c])
-    for i in range(c):
-        sos += bytes([i + 1, 0 if i == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += writer.flush()
+
+    all_comps = list(range(c))
+    scans: list[tuple[list[int], int, int, int, int]] = [
+        (all_comps, 0, 0, 0, 1),  # DC first, Al = 1
+        (all_comps, 0, 0, 1, 0),  # DC refinement
+    ]
+    for ci in all_comps:
+        scans += [([ci], 1, 5, 0, 1), ([ci], 6, 63, 0, 1)]
+    for ci in all_comps:
+        scans += [([ci], 1, 5, 1, 0), ([ci], 6, 63, 1, 0)]
+
+    for comps_in, ss, se, sah, sal in scans:
+        sos = bytes([len(comps_in)])
+        for ci in comps_in:
+            dc_id = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (dc_id << 4) | 0])  # AC table 0 for all
+        sos += bytes([ss, se, (sah << 4) | sal])
+        out += seg(0xDA, sos)
+        writer = _BitWriter()
+        if ss == 0:  # DC scan (interleaved unless single-component frame)
+            pred = [0] * c
+            if len(comps_in) > 1:
+                units = (
+                    (ci, my * cv + by, mx * ch + bx)
+                    for my in range(mcus_y)
+                    for mx in range(mcus_x)
+                    for ci in comps_in
+                    for (ch, cv) in [factors[ci]]
+                    for by in range(cv)
+                    for bx in range(ch)
+                )
+            else:
+                ci0 = comps_in[0]
+                units = (
+                    (ci0, by, bx)
+                    for by in range(ni_grid[ci0][0])
+                    for bx in range(ni_grid[ci0][1])
+                )
+            for ci, by, bx in units:
+                dc = int(zzs[ci][by, bx, 0])
+                if sah == 0:  # first pass codes DC >> Al, diff-coded
+                    v = dc >> sal
+                    size, bits = _magnitude(v - pred[ci])
+                    pred[ci] = v
+                    code, ln = dc_codes[ci][size]
+                    writer.write(code, ln)
+                    if size:
+                        writer.write(bits, size)
+                else:  # refinement: one raw bit per data unit
+                    writer.write((dc >> sal) & 1, 1)
+        else:  # AC scan: single component, non-interleaved
+            ci0 = comps_in[0]
+            st = _ProgACScan(writer, ac_prog_codes)
+            emit = _emit_ac_first if sah == 0 else _emit_ac_refine
+            for by in range(ni_grid[ci0][0]):
+                for bx in range(ni_grid[ci0][1]):
+                    emit(st, zzs[ci0][by, bx], ss, se, sal)
+            st.flush_eobrun()
+        out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -8,8 +8,8 @@ subsampling and restart markers), WAV payloads decode to PCM sample arrays
 (functions/audiocodec.py — RIFF integer PCM, 8/16-bit), and AVI payloads
 decode to frame-sampled pixel arrays (functions/videocodec.py — RIFF AVI
 with uncompressed 24bpp DIB frames); no external media lib ships in this
-container.  Remaining payloads (progressive/arithmetic JPEG, compressed
-video codecs, unknown formats) fall back to opaque-bytes featurization —
+container.  Remaining payloads (arithmetic-coded JPEG, compressed video
+codecs, unknown formats) fall back to opaque-bytes featurization —
 swapping in pyav/Pillow on a real cluster changes only ``_decode_payload``,
 never the DataFrame contract.
 

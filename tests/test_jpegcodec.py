@@ -1,7 +1,8 @@
-"""Vendored baseline-JPEG codec (ITU-T T.81): roundtrip ERROR BOUNDS (JPEG
-is lossy by construction — the byte-exact pins stay with PNG/BMP), probe
-semantics, subsampling/restart decode paths, rejection of non-baseline
-modes, and the multimodal opaque-fallback integration."""
+"""Vendored JPEG codec (ITU-T T.81, baseline + progressive): roundtrip
+ERROR BOUNDS (JPEG is lossy by construction — the byte-exact pins stay
+with PNG/BMP), progressive-vs-baseline exact-pixel differential, probe
+semantics, subsampling/restart decode paths, rejection of arithmetic
+coding, and the multimodal opaque-fallback integration."""
 
 from __future__ import annotations
 
@@ -94,6 +95,60 @@ class TestRoundtrip:
         assert encode_jpeg(img, quality=90) == encode_jpeg(img, quality=90)
 
 
+class TestProgressive:
+    """SOF2 decode paths.  The progressive encoder quantizes identically to
+    the baseline one and only repackages the entropy coding, so the decoded
+    pixels must match the baseline decode EXACTLY — a differential pin far
+    tighter than an error bound."""
+
+    def test_matches_baseline_exactly_rgb_and_gray(self):
+        img = _gradient_rgb()
+        for q in (95, 75):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+            assert np.array_equal(base, prog), q
+        g = img[:, :, 0]
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(g, quality=90)),
+            decode_jpeg(encode_jpeg(g, quality=90, progressive=True)),
+        )
+
+    def test_matches_baseline_420_padded_grid(self):
+        """W=53/H=37 make the luma MCU-padded grid strictly larger than the
+        non-interleaved grid (ceil(53/8)=7 < 2*ceil(53/16)=8), so the AC
+        scans cover a proper subset of the DC scan's blocks."""
+        img = _gradient_rgb()
+        base = decode_jpeg(encode_jpeg(img, quality=95, subsampling="420"))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=95, subsampling="420", progressive=True)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_noise_and_flat_extremes(self):
+        """Random noise packs the AC bands densely (rare EOB runs); a flat
+        image is DC-only so every AC scan is one long cross-block EOB run —
+        both must still match the baseline decode exactly."""
+        rng = np.random.Generator(np.random.PCG64(11))
+        noise = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+        flat = np.full((H, W, 3), 77, dtype=np.uint8)
+        for img in (noise, flat):
+            base = decode_jpeg(encode_jpeg(img, quality=85))
+            prog = decode_jpeg(encode_jpeg(img, quality=85, progressive=True))
+            assert np.array_equal(base, prog)
+
+    def test_stream_structure(self):
+        """The progressive stream is a real SOF2 multi-scan file: 2 DC
+        scans + per-component (2 first + 2 refinement) AC scans."""
+        data = encode_jpeg(_gradient_rgb(), progressive=True)
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+        assert data.count(b"\xff\xda") >= 2 + 3 * 4  # SOS markers
+        assert probe_jpeg(data) == (W, H, 3)
+
+    def test_progressive_with_restart_rejected_by_encoder(self):
+        with pytest.raises(ValueError, match="baseline"):
+            encode_jpeg(_gradient_rgb(), progressive=True, restart_interval=2)
+
+
 class TestProbeAndRejects:
     def test_probe_dims(self):
         data = encode_jpeg(_gradient_rgb())
@@ -106,14 +161,15 @@ class TestProbeAndRejects:
         assert probe_jpeg(b"\x89PNG\r\n\x1a\n") is None
         assert probe_jpeg(b"\xff\xd8\xff") is None  # truncated
 
-    def test_progressive_probes_but_rejects_decode(self):
-        """SOF2 (progressive): dims remain probe-able, decode raises — the
-        opaque-bytes fallback contract for non-baseline modes."""
+    def test_arithmetic_probes_but_rejects_decode(self):
+        """SOF9 (arithmetic-coded sequential): dims remain probe-able,
+        decode raises — the opaque-bytes fallback contract for genuinely
+        unsupported modes (progressive SOF2 now decodes)."""
         data = bytearray(encode_jpeg(_gradient_rgb()))
         i = data.find(b"\xff\xc0")
-        data[i + 1] = 0xC2
+        data[i + 1] = 0xC9
         assert probe_jpeg(bytes(data)) == (W, H, 3)
-        with pytest.raises(ValueError, match="baseline"):
+        with pytest.raises(ValueError, match="unsupported"):
             decode_jpeg(bytes(data))
 
     def test_truncated_stream_raises_not_hangs(self):
@@ -152,14 +208,34 @@ class TestMultimodalIntegration:
         assert got["media_format"] == "jpeg"
         assert (got["width"], got["height"]) == (W, H)
 
-    def test_progressive_jpeg_falls_back_opaque(self, spark):
+    def test_progressive_jpeg_decodes_like_baseline(self, spark):
+        """The Spark featurization path decodes SOF2 payloads to the same
+        pixels as the baseline encode of the same image."""
+        from deduplication_challenge_spark.operators.multimodal import (
+            decode_and_featurize,
+        )
+
+        img = _gradient_rgb()
+        rows = [
+            (1, "image", bytearray(encode_jpeg(img, quality=95))),
+            (2, "image", bytearray(encode_jpeg(img, quality=95, progressive=True))),
+        ]
+        assets = spark.createDataFrame(
+            rows, "asset_id long, kind string, payload binary"
+        )
+        got = {r["asset_id"]: r for r in decode_and_featurize(assets).collect()}
+        assert got[2]["decoded"] and got[2]["media_format"] == "jpeg"
+        assert (got[2]["width"], got[2]["height"]) == (W, H)
+        assert got[2]["features"] == got[1]["features"]  # identical pixels
+
+    def test_arithmetic_jpeg_falls_back_opaque(self, spark):
         from deduplication_challenge_spark.operators.multimodal import (
             decode_and_featurize,
         )
 
         data = bytearray(encode_jpeg(_gradient_rgb()))
         i = data.find(b"\xff\xc0")
-        data[i + 1] = 0xC2
+        data[i + 1] = 0xC9  # arithmetic coding: genuinely undecodable here
         assets = spark.createDataFrame(
             [(1, "image", bytes(data))], "asset_id long, kind string, payload binary"
         )
