@@ -271,6 +271,17 @@ def main() -> int:
         p,
     )
 
+    # 17b/17c. rule-based quality filters: pure projections that must run
+    # at scan speed — any Exchange means the expression tree regressed
+    for qname in ("gopher_quality_flags", "c4_line_filter_stats"):
+        p = plan_text(eq.QUERIES[qname](spark, sf_dir))
+        check(
+            qname,
+            "Exchange" not in p,
+            "zero exchanges — codegen'd rule projection",
+            p,
+        )
+
     # 18. incremental cross candidates: band/chunk equi-joins only (the
     # index side aggregates to min-per-bucket BEFORE the join) — no
     # sort-merge of raw band tables, no cartesian, no full-index pairing
