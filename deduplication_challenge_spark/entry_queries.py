@@ -1205,7 +1205,7 @@ ORACLE_SQL = {
             SELECT doc_id, text,
                    list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '') AS w
             FROM documents
-            WHERE length(trim(text)) > 0
+            WHERE regexp_matches(text, '[^ \\t\\n\\x0B\\f\\r]')
         ), m AS (
             SELECT doc_id,
                    len(w) AS n_words,
@@ -1242,12 +1242,12 @@ ORACLE_SQL = {
         WITH base AS (
             SELECT doc_id, text, string_split(text, chr(10)) AS lines
             FROM documents
-            WHERE length(trim(text)) > 0
+            WHERE regexp_matches(text, '[^ \\t\\n\\x0B\\f\\r]')
         ), k AS (
             SELECT doc_id, text, lines,
                    list_filter(lines, ln ->
-                       len(list_filter(regexp_split_to_array(ln, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) >= 3
-                       AND regexp_matches(trim(ln), '[.!?"]$')) AS kept,
+                       len(list_filter(regexp_split_to_array(ln, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) >= 5
+                       AND regexp_matches(regexp_replace(ln, '^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$', ''), '[.!?"]$')) AS kept,
                    CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
                    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
             FROM base
@@ -1255,7 +1255,8 @@ ORACLE_SQL = {
         SELECT doc_id,
                CAST(len(lines) AS BIGINT) AS n_lines,
                CAST(len(kept) AS BIGINT) AS n_kept_lines,
-               CAST(coalesce(list_sum(list_transform(kept, ln -> length(trim(ln)))), 0) AS BIGINT)
+               CAST(coalesce(list_sum(list_transform(kept,
+                        ln -> length(regexp_replace(ln, '^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$', '')))), 0) AS BIGINT)
                    AS kept_chars,
                has_brace, has_lorem,
                CASE WHEN len(kept) >= 3 AND has_brace = 0 AND has_lorem = 0

@@ -554,8 +554,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             mcus_x = -(-w // (8 * hmax))
             mcus_y = -(-h // (8 * vmax))
             dims = (w, h, hmax, vmax, mcus_x, mcus_y)
+            # int32 halves the dominant allocation (8 B/coefficient -> 4):
+            # quantized 8-bit-precision coefficients fit in 16 bits even
+            # before the successive-approximation shift
             coefs = [
-                np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+                np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
                 for (_cid, ch, cv, _tq) in comps
             ]
         elif marker == 0xDA:  # SOS: decode the scan, resume at next marker
@@ -585,18 +588,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     out_planes = []
-    for (buf, (_cid, ch, cv, tq)) in zip(coefs, comps):
+    for ci, (_cid, ch, cv, tq) in enumerate(comps):
         if tq not in qtables:
             raise ValueError(f"missing quantization table {tq}")
         q = qtables[tq]
+        buf = coefs[ci]
+        coefs[ci] = None  # free the coefficient buffer as soon as it's used
         nby, nbx, _ = buf.shape
         nat = np.zeros((nby, nbx, 64), dtype=np.float64)
         nat[:, :, ZIGZAG] = buf * q[ZIGZAG]
+        del buf
         blocks = (
             np.einsum("ij,nmjk,kl->nmil", _DCT.T, nat.reshape(nby, nbx, 8, 8), _DCT)
             + 128.0
         )
+        del nat
         plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        del blocks
         # upsample subsampled planes (nearest-neighbor), crop to (h, w)
         if ch != hmax:
             plane = np.repeat(plane, hmax // ch, axis=1)

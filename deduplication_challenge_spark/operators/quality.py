@@ -10,7 +10,7 @@ they are per-row projections that pipeline into whatever scan feeds them):
   ``q_doc_repetition_signals`` — this operator deliberately does not repeat
   them.)
 - :func:`c4_line_stats` — the line-level C4 cleaning heuristics (Raffel et
-  al. 2020, §2.2): a line survives iff it has at least three words and ends
+  al. 2020, §2.2): a line survives iff it has at least five words and ends
   in terminal punctuation; documents carrying ``{`` (code markers) or the
   phrase ``lorem ipsum`` are flagged; a document passes with >= 3 surviving
   lines and no flags.
@@ -44,11 +44,17 @@ GOPHER_MAX_SYMBOL_RATIO = 0.1
 GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
 GOPHER_MIN_STOPWORD_HITS = 2
 
-#: C4 rule constants (Raffel et al. 2020 §2.2)
-C4_MIN_LINE_WORDS = 3
+#: C4 rule constants (Raffel et al. 2020 §2.2: lines with >= 5 words)
+C4_MIN_LINE_WORDS = 5
 C4_MIN_KEPT_LINES = 3
-#: terminal punctuation a surviving line must end with (C4 uses ., !, ?, ")
+#: terminal punctuation a surviving line must end with (C4 uses ., !, ?, ").
+#: Checked against the WHITESPACE-STRIPPED line: Java's '$' matches before a
+#: trailing \r while RE2's (the oracle's) matches only at end-of-string, so
+#: anchoring on the raw line would diverge on CRLF documents.
 C4_TERMINAL_RE = '[.!?"]$'
+#: strip both ends of a line before the terminal check / kept_chars measure
+#: (F.trim strips only ' ', which leaves \r and \t behind)
+_EDGE_WS_RE = "^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$"
 
 
 #: explicit whitespace class instead of \s: Java's \s includes \x0B but
@@ -74,7 +80,9 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     stopword_hits, passes_gopher``.
     """
     t = F.col(text_col)
-    d = df.where(F.length(F.trim(t)) > 0)
+    # any non-whitespace char (trim strips only spaces, so a tab-only doc
+    # would otherwise slip through with n_words = 0 and NULL ratios)
+    d = df.where(t.rlike("[^ \\t\\n\\x0B\\f\\r]"))
     w = _words(t)
     n_words = F.size(w).cast("long")
     # sum of token lengths == length of the text with ALL whitespace removed
@@ -112,19 +120,23 @@ def c4_line_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     A line is KEPT iff it has >= ``C4_MIN_LINE_WORDS`` words and its
     trimmed form ends in terminal punctuation.  Output columns:
     ``doc_id, n_lines, n_kept_lines, kept_chars, has_brace, has_lorem,
-    passes_c4``.  ``kept_chars`` measures the trimmed surviving lines —
-    the size of the document after cleaning.
+    passes_c4``.  ``kept_chars`` measures the whitespace-stripped surviving
+    lines — the size of the document after cleaning.
     """
     t = F.col(text_col)
-    d = df.where(F.length(F.trim(t)) > 0)
+    d = df.where(t.rlike("[^ \\t\\n\\x0B\\f\\r]"))
     lines = F.split(t, "\n")
+
+    def _stripped(ln):
+        return F.regexp_replace(ln, _EDGE_WS_RE, "")
+
     kept = F.filter(
         lines,
         lambda ln: (F.size(_words(ln)) >= C4_MIN_LINE_WORDS)
-        & F.trim(ln).rlike(C4_TERMINAL_RE),
+        & _stripped(ln).rlike(C4_TERMINAL_RE),
     )
     kept_chars = F.aggregate(
-        kept, F.lit(0).cast("long"), lambda acc, ln: acc + F.length(F.trim(ln))
+        kept, F.lit(0).cast("long"), lambda acc, ln: acc + F.length(_stripped(ln))
     )
     has_brace = t.contains("{")
     has_lorem = F.lower(t).contains("lorem ipsum")

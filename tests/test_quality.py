@@ -59,18 +59,21 @@ class TestGopherQuality:
         assert out["passes_gopher"] == 0  # alpha_word_frac == 0
 
     def test_empty_and_whitespace_docs_excluded(self, spark):
-        assert gopher_quality(_df(spark, [(1, ""), (2, "   "), (3, "ok words")])).count() == 1
+        """Tab/newline-only docs are excluded too (a trim()-based filter
+        strips only spaces and would let them through with n_words = 0)."""
+        rows = [(1, ""), (2, "   "), (3, "\t\t"), (4, " \n \r "), (5, "ok words")]
+        assert gopher_quality(_df(spark, rows)).count() == 1
 
 
 class TestC4LineStats:
     def test_line_survival_rules(self, spark):
         text = "\n".join(
             [
-                "This line has enough words.",   # kept
-                "Too short.",                    # < 3 words
-                "no terminal punctuation here",  # no [.!?"]
-                "Does a question survive too?",  # kept
-                'He said "stop".',               # kept (ends with .)
+                "This line has enough words.",      # kept (5 words)
+                "Too short.",                       # < 5 words
+                "no terminal punctuation in here",  # no [.!?"]
+                "Does a question survive too?",     # kept
+                'He said "we must stop".',          # kept (ends with .)
             ]
         )
         out = c4_line_stats(_df(spark, [(1, text)])).collect()[0]
@@ -79,10 +82,23 @@ class TestC4LineStats:
         assert out["kept_chars"] == sum(
             len(s) for s in ["This line has enough words.",
                              "Does a question survive too?",
-                             'He said "stop".']
+                             'He said "we must stop".']
         )
         assert out["has_brace"] == 0 and out["has_lorem"] == 0
         assert out["passes_c4"] == 1  # 3 kept >= C4_MIN_KEPT_LINES
+
+    def test_crlf_lines_match_unix_lines(self, spark):
+        """CRLF documents: the terminal-punctuation anchor runs on the
+        whitespace-STRIPPED line (Java's '$' matches before a trailing \\r,
+        RE2's does not — the stripped form pins both engines to the same
+        answer), and kept_chars never counts the '\\r'."""
+        unix = "\n".join(["Good line one ends right here."] * 3)
+        crlf = "\r\n".join(["Good line one ends right here."] * 3)
+        rows = c4_line_stats(_df(spark, [(1, unix), (2, crlf)])).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        for col in ("n_lines", "n_kept_lines", "kept_chars", "passes_c4"):
+            assert by_id[1][col] == by_id[2][col], col
+        assert by_id[2]["kept_chars"] == 3 * len("Good line one ends right here.")
 
     def test_brace_and_lorem_flags_block_pass(self, spark):
         good = "\n".join(["One good line right here."] * C4_MIN_KEPT_LINES)
