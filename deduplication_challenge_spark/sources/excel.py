@@ -22,7 +22,7 @@ from __future__ import annotations
 import datetime as _dt
 import re
 import zipfile
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 from pyspark.sql import DataFrame
 
@@ -72,6 +72,14 @@ def _cell(col: int, row: int, value) -> str:
     if isinstance(value, bool):  # before int: bool is an int subclass
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, int):
+        if abs(value) >= 2**53:
+            # Excel parses numeric cells as IEEE doubles — a 64-bit id
+            # (e.g. doc_id = xxhash64(url)) would be silently rounded on
+            # open.  Ship it as a string: exploration must not corrupt ids.
+            return (
+                f'<c r="{ref}" t="inlineStr"><is>'
+                f"<t>{value}</t></is></c>"
+            )
         return f'<c r="{ref}"><v>{value}</v></c>'
     if isinstance(value, float):
         if value != value or value in (float("inf"), float("-inf")):
@@ -108,29 +116,39 @@ def write_excel(
             "sink — aggregate or filter first, or use the parquet sink"
         )
     cols = df.columns
-    safe_sheet = escape(_ILLEGAL_XML.sub("", sheet_name))[:31] or "Sheet1"
-    body = ["<row r=\"1\">"]
-    body += [_cell(ci, 1, name) for ci, name in enumerate(cols)]
-    body.append("</row>")
-    for ri, row in enumerate(rows, start=2):
-        body.append(f'<row r="{ri}">')
-        body += [_cell(ci, ri, row[ci]) for ci in range(len(cols))]
-        body.append("</row>")
-    sheet = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        f"<sheetData>{''.join(body)}</sheetData></worksheet>"
-    )
+    # truncate the RAW name to Excel's 31-char limit BEFORE quoting —
+    # truncating the quoted form could cut an XML entity in half; quoteattr
+    # (not escape) handles '"' so the attribute can never break the XML
+    raw_sheet = _ILLEGAL_XML.sub("", sheet_name)[:31] or "Sheet1"
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{safe_sheet}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        f'<sheets><sheet name={quoteattr(raw_sheet)} sheetId="1" r:id="rId1"/></sheets></workbook>'
     )
+    ncols = len(cols)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _ROOT_RELS)
         zf.writestr("xl/workbook.xml", workbook)
         zf.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
-        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        # stream the sheet row by row: the XML of a near-ceiling frame
+        # would otherwise transiently hold the whole multi-GB document as
+        # one driver-side string before compression
+        with zf.open("xl/worksheets/sheet1.xml", "w") as out:
+            out.write(
+                b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                b'<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                b"<sheetData>"
+            )
+            header = '<row r="1">' + "".join(
+                _cell(ci, 1, name) for ci, name in enumerate(cols)
+            ) + "</row>"
+            out.write(header.encode("utf-8"))
+            for ri, row in enumerate(rows, start=2):
+                chunk = f'<row r="{ri}">' + "".join(
+                    _cell(ci, ri, row[ci]) for ci in range(ncols)
+                ) + "</row>"
+                out.write(chunk.encode("utf-8"))
+            out.write(b"</sheetData></worksheet>")
     return len(rows)

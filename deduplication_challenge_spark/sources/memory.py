@@ -20,8 +20,9 @@ from collections.abc import Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: the engine-wide pages schema (sources/warc.py, streaming/stream_ops.py)
-PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+# single source of truth for the pages schema — a hand-copied literal here
+# could silently drift from what WARC/stream-sourced frames carry
+from deduplication_challenge_spark.sources.warc import PAGES_DDL
 _COLS = ("url", "warc_ts", "html", "text", "lang")
 _OPTIONAL = {"warc_ts", "html", "text", "lang"}
 
@@ -43,6 +44,10 @@ def pages_from_records(
         missing = set(_COLS) - set(rec) - _OPTIONAL
         if missing:
             raise ValueError(f"record {i} is missing required keys {sorted(missing)}")
+        if not rec["url"]:
+            # url is the identity column (doc_id = xxhash64(url) downstream);
+            # a None/empty url would collide every such record into one id
+            raise ValueError(f"record {i} has a null/empty url")
         ts = rec.get("warc_ts")
         if isinstance(ts, str):
             ts = _dt.datetime.fromisoformat(ts)

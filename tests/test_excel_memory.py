@@ -74,6 +74,35 @@ class TestExcelSink:
         refs = [c[0] for c in _read_sheet(path)[1]]
         assert refs[25] == "Z2" and refs[26] == "AA2" and refs[29] == "AD2"
 
+    def test_sheet_name_quoting_and_truncation(self, spark, tmp_path):
+        """A '\"' in the sheet name must not break the name attribute, and
+        the 31-char Excel limit truncates the RAW name — truncating the
+        escaped form could cut an XML entity in half."""
+        df = spark.createDataFrame([(1,)], "x int")
+        p1 = str(tmp_path / "q.xlsx")
+        write_excel(df, p1, sheet_name='Q3 "final" <&>')
+        with zipfile.ZipFile(p1) as zf:
+            wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        (sheet,) = wb.iter("{%s}sheet" % _NS["m"])
+        assert sheet.get("name") == 'Q3 "final" <&>'
+        p2 = str(tmp_path / "t.xlsx")
+        write_excel(df, p2, sheet_name="A" * 29 + "&x")  # entity would be cut
+        with zipfile.ZipFile(p2) as zf:
+            wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        (sheet,) = wb.iter("{%s}sheet" % _NS["m"])
+        assert sheet.get("name") == "A" * 29 + "&x"[:2]
+
+    def test_64bit_ids_survive_as_strings(self, spark, tmp_path):
+        """Ints at/past 2^53 (xxhash64 doc_ids) become inline strings —
+        Excel parses numeric cells as doubles and would round them."""
+        big = -6744616258214337103
+        df = spark.createDataFrame([(big, 7)], "doc_id long, small long")
+        path = str(tmp_path / "ids.xlsx")
+        write_excel(df, path)
+        r = _read_sheet(path)[1]
+        assert r[0] == ("A2", "inlineStr", str(big))  # exact, typed string
+        assert r[1] == ("B2", "n", "7")  # small ints stay numeric
+
     def test_timestamps_and_control_chars(self, spark, tmp_path):
         df = spark.createDataFrame(
             [(dt.datetime(2025, 1, 2, 3, 4, 5), "bad\x01ctl")],
@@ -112,6 +141,14 @@ class TestMemorySource:
             pages_from_records(spark, [{"ur1": "typo"}])
         with pytest.raises(ValueError, match="missing required.*'url'"):
             pages_from_records(spark, [{"text": "no url"}])
+
+    def test_null_url_fails_loudly(self, spark):
+        """url is the identity column (doc_id = xxhash64(url)): an explicit
+        None url must refuse, not silently collide records into one id."""
+        with pytest.raises(ValueError, match="null/empty url"):
+            pages_from_records(spark, [{"url": None, "text": "a"}])
+        with pytest.raises(ValueError, match="null/empty url"):
+            pages_from_records(spark, [{"url": "", "text": "b"}])
 
     def test_feeds_the_pipeline_directly(self, spark, tmp_path):
         """The frame is a first-class pages input: extraction runs on it
