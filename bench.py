@@ -74,7 +74,8 @@ def main() -> None:
     # --- representative operator queries
     bench_queries = [
         "prefix40_dup_groups", "ngram_jaccard_pairs", "token_stats",
-        "quality_scores", "lang_id_heuristic", "embedding_norms",
+        "quality_scores", "gopher_quality_flags", "c4_line_filter_stats",
+        "lang_id_heuristic", "embedding_norms",
         "embedding_near_dup_pairs_lsh",
         "doc_repetition_signals", "boilerplate_rate_by_source",
         "paragraph_dedup_docs", "contamination_flags", "hash_sample_by_source",
