@@ -505,6 +505,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 pq, tq = body[p] >> 4, body[p] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit quantization tables unsupported")
+                if p + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 vals = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8)
                 # DQT stores zigzag order; q_nat[ZIGZAG[k]] = vals[k]
                 q_nat = np.zeros(64, dtype=np.int64)
@@ -514,13 +516,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             p = 0
             while p < len(body):
+                if p + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[p] >> 4, body[p] & 0x0F
                 bits = list(body[p + 1 : p + 17])
                 nval = sum(bits)
                 vals = list(body[p + 17 : p + 17 + nval])
+                if len(vals) < nval:
+                    raise ValueError("truncated DHT segment")
                 huff[(tc, th)] = _build_decoder(bits, vals)
                 p += 17 + nval
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker in _SOF_ALL:
             if marker not in _SOF_SUPPORTED:
@@ -529,6 +537,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
             if frame is not None:
                 raise ValueError("multiple SOF frames (hierarchical?)")
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported")
@@ -564,11 +574,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS: decode the scan, resume at next marker
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             by_id = {cid: i for i, (cid, *_rest) in enumerate(frame[2])}
             sel = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                if cid not in by_id:
+                    raise ValueError(f"SOS names unknown component {cid}")
                 sel.append((by_id[cid], tt >> 4, tt & 0x0F))
             ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
             end = _decode_scan(
