@@ -1212,16 +1212,8 @@ ORACLE_SQL = {
                    length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) * 1.0 / len(w) AS mwl,
                    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(w) AS awf,
                    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) * 1.0 / len(w) AS sym,
-                   (CASE WHEN regexp_matches(text, '\\bthe\\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(text, '\\ba\\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(text, '\\bof\\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(text, '\\bto\\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(text, '\\band\\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(text, '\\bin\\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(text, '\\bis\\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(text, '\\bthat\\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(text, '\\bfor\\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(text, '\\bit\\b') THEN 1 ELSE 0 END) AS sw
+                   len(list_intersect(list_distinct(w),
+                       ['the', 'a', 'of', 'to', 'and', 'in', 'is', 'that', 'for', 'it'])) AS sw
             FROM base
         )
         SELECT doc_id,

@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 #: fixed stopword probe set (Gopher uses "the, be, to, of, and, that, have,
 #: with"; we keep a 10-word superset pinned here so the oracle SQL and the
-#: Spark plan can never drift — each word is checked as a \b-delimited match)
+#: Spark plan can never drift).  A hit = a whitespace TOKEN equal to the
+#: stopword (case-sensitive) — one array intersect over the already-split
+#: tokens, not ten word-boundary regex scans of the full text (the regex
+#: formulation cost 10 extra full-text passes per row and dominated the
+#: operator's runtime at sf0.1)
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that", "for", "it")
 
 #: Gopher rule constants (Rae et al. 2021 table A1)
@@ -93,8 +97,8 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     # Gopher counts '#' and ellipsis as symbols; '...' and the one-char
     # form U+2026 both count, longest-match-first so '...' is one symbol
     symbol_ratio = F.regexp_count(t, F.lit(r"#|\.\.\.|…")) / n_words
-    stopword_hits = sum(
-        t.rlike(rf"\b{s}\b").cast("int") for s in STOPWORDS
+    stopword_hits = F.size(
+        F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in STOPWORDS]))
     ).cast("long")
     passes = (
         n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)

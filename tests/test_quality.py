@@ -44,10 +44,20 @@ class TestGopherQuality:
         assert out["n_words"] == 10
         assert out["symbol_ratio"] == pytest.approx(3 / 10, abs=1e-4)
 
-    def test_stopwords_are_word_bounded(self, spark):
-        # 'theory' must not count as 'the'; 'it' inside 'item' must not count
-        out = gopher_quality(_df(spark, [(1, "theory items margin")])).collect()[0]
-        assert out["stopword_hits"] == 0
+    def test_stopwords_are_whole_tokens(self, spark):
+        # 'theory' must not count as 'the'; 'it' inside 'item' must not
+        # count; a hit is a whole whitespace token, so punctuation-glued
+        # 'the,' does not count either (token-equality semantics, matching
+        # the list_intersect oracle); repeats count once
+        rows = gopher_quality(
+            _df(spark, [(1, "theory items margin"),
+                        (2, "the, and. margin"),
+                        (3, "the the the and")])
+        ).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert by_id[1]["stopword_hits"] == 0
+        assert by_id[2]["stopword_hits"] == 0
+        assert by_id[3]["stopword_hits"] == 2  # distinct stopwords, not occurrences
 
     def test_alpha_word_frac(self, spark):
         out = gopher_quality(_df(spark, [(1, "abc 123 a1 456")])).collect()[0]
