@@ -45,6 +45,7 @@ def _docs_as_dedup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full near-dup pipeline (signatures -> LSH -> verify -> CC ->
     consolidate) over pages derived from sf0.001 documents."""
+    import shutil
     import tempfile
 
     from deduplication_challenge_spark.config import DedupConfig
@@ -53,10 +54,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
     workdir = tempfile.mkdtemp(prefix="dedup_entry_")
-    # substring partitioning comes from the pinned config (determinism)
-    pipe = DedupPipeline(spark, DedupConfig(), workdir, include_substring=True)
-    canonical, _ = pipe.run(pages, input_desc="sf0.001")
-    return canonical
+    try:
+        # substring partitioning comes from the pinned config (determinism)
+        pipe = DedupPipeline(spark, DedupConfig(), workdir, include_substring=True)
+        canonical, _ = pipe.run(pages, input_desc="sf0.001")
+        # pin the result off the workdir (eager localCheckpoint) BEFORE the
+        # stage tables are deleted — the driver collects AFTER we return,
+        # and repeated smoke runs must not accumulate stage dirs in /tmp
+        return canonical.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
