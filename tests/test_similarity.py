@@ -92,8 +92,8 @@ class TestBucketedNearDupPairs:
         """Recall gate (judge round-1 item 6): the LSH-bucketed pair query vs
         the exact cross-join on the driver's sf0.01 embeddings.  All inputs
         and hyperplanes are seeded, so recall is a deterministic number
-        (0.978 at the pinned 5 planes x 12 tables x 1 probe — 0.860 before
-        multiprobe); the gate sits just below it."""
+        (0.993 at the pinned 5 planes x 12 tables x 2 probes — 0.978 at
+        1 probe, 0.860 before multiprobe); the gate sits just below it."""
         import os
 
         from deduplication_challenge_spark.entry_queries import (
@@ -110,7 +110,7 @@ class TestBucketedNearDupPairs:
                for r in q_embedding_near_dup_pairs_lsh(spark, sf_dir).collect()}
         assert lsh <= exact          # verification step admits no false pairs
         recall = len(lsh & exact) / len(exact)
-        assert recall >= 0.95, recall
+        assert recall >= 0.99, recall
 
     def test_ann_topk_missed_query_is_the_recall_audit(self, spark):
         """Driver-visible top-k recall (judge round-3 item 4): the
