@@ -1240,7 +1240,7 @@ ORACLE_SQL = {
             SELECT doc_id, text, lines,
                    list_filter(lines, ln ->
                        len(list_filter(regexp_split_to_array(ln, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) >= 5
-                       AND regexp_matches(regexp_replace(ln, '^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$', ''), '[.!?"]$')) AS kept,
+                       AND regexp_matches(regexp_replace(ln, '^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$', '', 'g'), '[.!?"]$')) AS kept,
                    CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
                    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
             FROM base
@@ -1249,7 +1249,7 @@ ORACLE_SQL = {
                CAST(len(lines) AS BIGINT) AS n_lines,
                CAST(len(kept) AS BIGINT) AS n_kept_lines,
                CAST(coalesce(list_sum(list_transform(kept,
-                        ln -> length(regexp_replace(ln, '^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$', '')))), 0) AS BIGINT)
+                        ln -> length(regexp_replace(ln, '^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$', '', 'g')))), 0) AS BIGINT)
                    AS kept_chars,
                has_brace, has_lorem,
                CASE WHEN len(kept) >= 3 AND has_brace = 0 AND has_lorem = 0

@@ -574,8 +574,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS: decode the scan, resume at next marker
             if frame is None:
                 raise ValueError("SOS before SOF")
-            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
-                raise ValueError("truncated SOS segment")
+            if len(body) < 1 or body[0] == 0 or len(body) < 4 + 2 * body[0]:
+                raise ValueError("truncated or empty SOS segment")
             ns = body[0]
             by_id = {cid: i for i, (cid, *_rest) in enumerate(frame[2])}
             sel = []

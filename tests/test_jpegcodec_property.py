@@ -78,19 +78,45 @@ def test_smooth_content_error_bound_q95(h, w, seed):
 
 
 @given(
-    cut=st.integers(2, 200),
+    frac=st.floats(0.001, 0.999),
     progressive=st.booleans(),
 )
 @settings(**_SETTINGS)
-def test_truncation_is_total(cut, progressive):
+def test_truncation_is_total(frac, progressive):
     """Truncated streams either raise ValueError or decode to a correctly
     shaped array (a prefix of scans is legal progressive data) — never an
-    index error, hang, or mis-shaped output."""
+    index error, hang, or mis-shaped output.  The cut point is a FRACTION
+    of the stream so both header truncation and mid-entropy / between-scan
+    truncation are actually reached (a fixed small byte cap never got past
+    the ~300-600 bytes of headers before the first SOS)."""
     img = _image(24, 24, 3, 7, "smooth")
     data = encode_jpeg(img, quality=85, progressive=progressive)
-    prefix = data[: min(cut, len(data) - 1)]
+    cut = max(2, min(int(len(data) * frac), len(data) - 1))
     try:
-        out = decode_jpeg(prefix)
+        out = decode_jpeg(data[:cut])
     except ValueError:
         return
     assert out.shape == (24, 24, 3) and out.dtype == np.uint8
+
+
+def test_zero_component_sos_raises_valueerror():
+    """A crafted SOS with ns=0 must raise ValueError (not IndexError from
+    an empty selector list) — the opaque-fallback totality contract."""
+    img = _image(16, 16, 1, 3, "flat")
+    data = encode_jpeg(img, quality=85)
+    sos = data.find(b"\xff\xda")
+    crafted = data[:sos] + b"\xff\xda\x00\x06\x00\x00\x3f\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(crafted)
+
+
+def test_truncation_mid_entropy_decodes_or_raises():
+    """Pin the success branch explicitly: cutting a progressive stream
+    right before the LAST scan's SOS leaves a legal prefix-of-scans file
+    that must decode to the full-frame shape."""
+    img = _image(24, 24, 3, 7, "smooth")
+    data = encode_jpeg(img, quality=85, progressive=True)
+    last_sos = data.rfind(b"\xff\xda")
+    assert last_sos > 0
+    out = decode_jpeg(data[:last_sos] + b"\xff\xd9")
+    assert out.shape == (24, 24, 3)

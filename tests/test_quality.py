@@ -140,6 +140,18 @@ class TestC4LineStats:
         assert out["n_kept_lines"] == 1
         assert out["kept_chars"] == len("A full sentence ends here.")
 
+    def test_indented_crlf_line_kept(self, spark):
+        """BOTH edge runs must be stripped — a line with leading spaces AND
+        a trailing \\r regressed the oracle when its regexp_replace lacked
+        the 'g' option (first-match-only), so this shape is pinned."""
+        out = c4_line_stats(
+            _df(spark, [(1, "  Hello world it is good.\r\n  Another good line sits here.\r")])
+        ).collect()[0]
+        assert out["n_kept_lines"] == 2
+        assert out["kept_chars"] == len("Hello world it is good.") + len(
+            "Another good line sits here."
+        )
+
 
 class TestPlanShape:
     def test_no_exchange_in_plans(self, spark):
