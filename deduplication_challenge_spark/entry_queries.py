@@ -602,6 +602,36 @@ def q_ann_topk_lsh_missed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file coarse quantizer) ANN top-3 — the SECOND ANN
+    scale path next to hyperplane LSH (rows-only: k-means assignment is
+    not SQL-expressible).  Pinned 64 lists x 24 probes: 0.90 top-3 recall
+    at a 0.375 candidate fraction on sf0.01 — about half the LSH path's
+    candidate cost (0.69 fraction at recall 1.00); the trade is
+    driver-visible via ann_topk_ivf_missed + ann_lsh_candidate_stats'
+    'ivf' row.  At scale the list id is a plain equi-join/partition key:
+    the inverted lists shard the index with no per-query fan-out beyond
+    the probed lists."""
+    from deduplication_challenge_spark.operators.similarity import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = e.where(F.col("vec_id") < 10)
+    return cosine_topk_ivf(
+        e, queries_df, k=3, n_lists=64, n_probes=24, seed=42
+    )
+
+
+def q_ann_topk_ivf_missed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall audit, driver-visible (rows-only by design): brute-force
+    top-3 entries the IVF path missed — spark_rows IS the miss count
+    (3 at sf0.01 -> recall 0.90), the IVF twin of ann_topk_lsh_missed."""
+    exact = q_ann_topk_bruteforce(spark, sf_dir)
+    approx = q_ann_topk_ivf(spark, sf_dir)
+    return exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+    )
+
+
 #: Pin for the EXACT (O(n^2) cross-join) pair baseline: only vectors with
 #: vec_id below this participate, so the quadratic query stays a small-n
 #: reference at any scale factor (at sf0.01 all 500 vectors qualify — the
@@ -667,6 +697,7 @@ def q_ann_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost side of the recall the two `_missed` queries keep visible."""
     from deduplication_challenge_spark.operators.similarity import (
         cosine_near_dup_pairs_lsh,
+        cosine_topk_ivf,
         cosine_topk_lsh,
     )
 
@@ -679,9 +710,14 @@ def q_ann_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, threshold=0.35, n_planes=5, n_tables=12, seed=42, n_probes=2,
         with_stats=True,
     )
+    _, ivf_stats = cosine_topk_ivf(
+        e, e.where(F.col("vec_id") < 10), k=3,
+        n_lists=64, n_probes=24, seed=42, with_stats=True,
+    )
     return (
         topk_stats.select(F.lit("topk").alias("path"), "*")
         .unionByName(pair_stats.select(F.lit("pairs").alias("path"), "*"))
+        .unionByName(ivf_stats.select(F.lit("ivf").alias("path"), "*"))
         .orderBy("path")
     )
 
@@ -975,6 +1011,8 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_lsh_missed": q_ann_topk_lsh_missed,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_missed": q_ann_topk_ivf_missed,
     "ann_lsh_candidate_stats": q_ann_lsh_candidate_stats,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_near_dup_pairs_lsh": q_embedding_near_dup_pairs_lsh,

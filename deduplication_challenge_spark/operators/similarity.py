@@ -1,12 +1,15 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths per the north-rule training-data ops:
+Three paths per the north-rule training-data ops:
   * brute-force cosine top-k — exact baseline, expressed entirely with
     JVM-side higher-order functions (zip_with/aggregate — no UDF, stays in
     whole-stage codegen) against a BROADCAST query set;
-  * random-hyperplane LSH (SimHash-for-vectors, Charikar STOC'02) — the
+  * random-hyperplane LSH (SimHash-for-vectors, Charikar STOC'02) — a
     scale path: bucket vectors by sign-bit keys, search only within the
-    query's bucket (plus optional multi-probe), exact re-rank inside.
+    query's bucket (plus optional multi-probe), exact re-rank inside;
+  * IVF (inverted-file coarse quantizer, the FAISS IVF design) — the
+    second scale path: deterministic spherical k-means lists, query probes
+    its n_probes nearest lists, exact re-rank inside.
 
 Determinism: hyperplanes from the seeded PCG64 generator; ties in top-k
 break on (rounded -sim, vec_id).
@@ -379,6 +382,150 @@ def cosine_topk_lsh(
             F.round(F.col("n_candidates") / denom, 4).alias(
                 "candidate_fraction"
             ),
+        )
+    )
+    return result, stats
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer (the IVF training
+    step, Sivic & Zisserman ICCV'03 / the FAISS IVF design): L2-normalized
+    centroids fit on a SEEDED sample collected to the driver — standard IVF
+    practice; at 10^12 rows the quantizer is trained on a bounded sample
+    regardless of cluster size, and the sample is picked by
+    ``xxhash64(vec_id, seed)`` order so the SAME rows are chosen on any
+    partitioning / cluster.  Returns an (n_lists, dim) float64 matrix.
+
+    Determinism: init indices and every iteration depend only on
+    (sample, n_lists, seed); empty lists keep their previous centroid."""
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)).asc(), F.col("vec_id").asc())
+        .limit(sample_size)
+        .collect()
+    )
+    if len(rows) < n_lists:
+        raise ValueError(
+            f"IVF needs at least n_lists={n_lists} sample vectors, got {len(rows)}"
+        )
+    x = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = x[rng.choice(len(x), size=n_lists, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(n_lists):
+            members = x[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, n_probes: int = 1, out: str = "list_id"
+) -> DataFrame:
+    """Adds the ``n_probes`` nearest coarse lists (by cosine against the
+    broadcast centroid matrix) as an array column ``out`` — one vectorized
+    numpy matmul per Arrow batch.  Index side uses n_probes=1 (each vector
+    lives in exactly one inverted list); query side probes several."""
+    from pyspark.sql.types import ArrayType
+
+    c_t = centroids.T.copy()  # (dim, n_lists) — closure-broadcast to executors
+    n_probes = min(n_probes, centroids.shape[0])
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def assign_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ c_t  # (n, n_lists)
+        if n_probes == 1:
+            return pd.Series(list(np.argmax(sims, axis=1)[:, None].astype(np.int64)))
+        top = np.argpartition(-sims, n_probes - 1, axis=1)[:, :n_probes]
+        # order probes best-first (argpartition is unordered) for readability
+        row = np.arange(len(mat))[:, None]
+        order = np.argsort(-sims[row, top], axis=1)
+        return pd.Series(list(np.take_along_axis(top, order, axis=1).astype(np.int64)))
+
+    return df.withColumn(out, assign_udf("embedding"))
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probes: int = 4,
+    seed: int = 42,
+    sample_size: int = 4096,
+    with_stats: bool = False,
+):
+    """IVF ANN top-k: each vector is filed under its nearest coarse
+    centroid; a query probes its ``n_probes`` nearest lists and re-ranks
+    exactly inside them (the second scale path next to cosine_topk_lsh —
+    partition-friendly: the list assignment is a plain equi-join key, so at
+    scale the inverted lists bucket/partition the index with no per-query
+    fan-out beyond the probed lists).
+
+    Recall < 1 by construction: a true neighbor filed under a list the
+    query does not probe is missed — n_probes is the recall lever, costed
+    via ``with_stats`` exactly like the LSH path."""
+    cents = train_ivf_centroids(embeddings, n_lists, seed, sample_size)
+    e = ivf_assign(
+        embeddings.withColumn("e_norm", _norm(F.col("embedding"))), cents, 1
+    ).select("vec_id", "embedding", "e_norm", F.element_at("list_id", 1).alias("list_id"))
+    q = ivf_assign(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_norm"),
+            F.col("embedding"),
+        ),
+        cents,
+        n_probes,
+    ).select("query_id", "q_emb", "q_norm", F.explode("list_id").alias("list_id"))
+    joined = e.join(F.broadcast(q), "list_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("embedding"), F.col("q_emb")) / (
+        F.col("e_norm") * F.col("q_norm")
+    )
+    scored = joined.select("query_id", "vec_id", F.round(sim, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    result = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+    if not with_stats:
+        return result
+    overlap = queries.select("vec_id").join(
+        embeddings.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count("*").alias("_o"))
+    denom = F.col("_n") * F.col("_q") - F.col("_o")
+    stats = (
+        joined.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(embeddings.agg(F.count("*").alias("_n")))
+        .crossJoin(queries.agg(F.count("*").alias("_q")))
+        .crossJoin(overlap)
+        .select(
+            "n_candidates",
+            denom.cast("long").alias("n_possible"),
+            F.round(F.col("n_candidates") / denom, 4).alias("candidate_fraction"),
         )
     )
     return result, stats

@@ -256,3 +256,81 @@ class TestMultiprobe:
             _table_buckets_udf(4, 12, 42, n_probes=4)
         with pytest.raises(ValueError, match="n_probes"):
             _table_buckets_udf(4, 12, 42, n_probes=-1)
+
+
+class TestIVF:
+    """IVF coarse-quantizer ANN (the second scale path): deterministic
+    training, recall gate, probe monotonicity, partitioning independence."""
+
+    def _frames(self, spark):
+        import os
+
+        sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+        if not os.path.isdir(sf_dir):
+            pytest.skip("driver testdata not present")
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id", "embedding"
+        )
+        return e, e.where(F.col("vec_id") < 10)
+
+    def test_recall_gate_at_pinned_config(self, spark):
+        """0.90 top-3 recall at 64 lists x 24 probes on sf0.01 (seeded
+        training + sample => deterministic); the gate sits just below."""
+        from deduplication_challenge_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            cosine_topk_ivf,
+        )
+
+        e, qs = self._frames(spark)
+        exact = {(r["query_id"], r["vec_id"])
+                 for r in cosine_topk_bruteforce(e, qs, k=3).collect()}
+        got = {(r["query_id"], r["vec_id"])
+               for r in cosine_topk_ivf(
+                   e, qs, k=3, n_lists=64, n_probes=24, seed=42).collect()}
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.85, recall
+
+    def test_more_probes_never_lose_recall(self, spark):
+        """Probing more lists only ADDS candidates, so recall is monotone
+        in n_probes (same trained quantizer: same n_lists/seed/sample)."""
+        from deduplication_challenge_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            cosine_topk_ivf,
+        )
+
+        e, qs = self._frames(spark)
+        exact = {(r["query_id"], r["vec_id"])
+                 for r in cosine_topk_bruteforce(e, qs, k=3).collect()}
+        recalls = []
+        for probes in (4, 16, 64):
+            got = {(r["query_id"], r["vec_id"])
+                   for r in cosine_topk_ivf(
+                       e, qs, k=3, n_lists=64, n_probes=probes, seed=42).collect()}
+            recalls.append(len(exact & got) / len(exact))
+        assert recalls == sorted(recalls), recalls
+        assert recalls[-1] == 1.0  # probing every list IS brute force
+
+    def test_partitioning_independent(self, spark):
+        """The sample (xxhash64 order) and therefore the trained quantizer
+        and results are identical under any input partitioning."""
+        from deduplication_challenge_spark.operators.similarity import cosine_topk_ivf
+
+        e, qs = self._frames(spark)
+        a = sorted(map(tuple, cosine_topk_ivf(
+            e, qs, k=3, n_lists=16, n_probes=4, seed=42).collect()))
+        b = sorted(map(tuple, cosine_topk_ivf(
+            e.repartition(7), qs, k=3, n_lists=16, n_probes=4, seed=42).collect()))
+        assert a == b
+
+    def test_stats_and_small_sample_refusal(self, spark):
+        from deduplication_challenge_spark.operators.similarity import cosine_topk_ivf
+
+        e, qs = self._frames(spark)
+        _, stats = cosine_topk_ivf(
+            e, qs, k=3, n_lists=64, n_probes=24, seed=42, with_stats=True)
+        row = stats.collect()[0]
+        n = e.count()
+        assert row["n_possible"] == n * 10 - 10  # in-corpus self-matches excluded
+        assert 0 < row["candidate_fraction"] < 1.0
+        with pytest.raises(ValueError, match="n_lists"):
+            cosine_topk_ivf(e, qs, k=3, n_lists=64, sample_size=10)
