@@ -162,33 +162,123 @@ def cosine_near_dup_pairs_lsh(
     emb = embeddings.select("vec_id", "embedding")
     # one plane matrix for ALL tables (identical per-table seeds to the
     # single-table generator, so recall numbers are reproducible), one Arrow
-    # pass computing every table's bucket, one equi-join on (table, bucket);
-    # the matrix is derived from the batch width — no driver metadata job
+    # pass computing every table's bucket.
     # SAME bucketing kernel as the top-k path (_table_buckets_udf) so the
     # two paths can never drift for identical (n_planes, n_tables, seed)
     buckets_udf = _table_buckets_udf(n_planes, n_tables, seed, n_probes)
 
-    # lazy checkpoint: b feeds BOTH sides of the candidate self-join —
-    # without it every embedding crosses the Arrow boundary and pays the
-    # (n, dim) @ (dim, T*P) matmul twice.  ONE Arrow pass emits base AND
-    # probe buckets (base first per table); the base side of the join is a
-    # filter on the same checkpointed frame, not a second UDF run.
+    # Physical design (optimization-round rewrite; same output, measured
+    # 613.9s -> see OPTIMIZATION_r06.md): in the low-threshold regime the
+    # candidate fraction is LARGE (0.80 of all pairs at 20k driver vectors),
+    # so the former id-pair materialization — explode buckets -> self-join
+    # -> distinct (~1.6e8 pairs) -> TWO joins re-attaching the embedding
+    # arrays -> per-pair Arrow verification — shuffled the vector payload
+    # once per candidate pair (tens of GB).  Instead, each embedding now
+    # rides to its (tbl, bucket) groups ONCE (1 + n_probes entries per
+    # table, ~hundreds of MB total) and verification happens INSIDE the
+    # bucket with one blocked float64 GEMM per group; only pairs already
+    # >= threshold (a ~0.2% fraction) leave the kernel, and a tiny
+    # pair-level dedup replaces the 1.6e8-row distinct.  The candidate set
+    # is never materialized.  Semantics are unchanged: a pair is a
+    # candidate iff it shares a (tbl, bucket) with at least one side in its
+    # BASE bucket (probe-vs-base, either direction) — inside a group that
+    # is exactly "not both probe-only" — and the cosine formula, rounding
+    # (Spark-side round(…, 6)) and NaN/zero-norm handling are identical.
     b = emb.select(
-        "vec_id", F.posexplode(buckets_udf("embedding")).alias("pos", "bucket")
+        "vec_id",
+        "embedding",
+        F.posexplode(buckets_udf("embedding")).alias("pos", "bucket"),
     ).select(
         "vec_id",
+        "embedding",
         (F.col("pos") / (1 + n_probes)).cast("int").alias("tbl"),
         (F.col("pos") % (1 + n_probes) == 0).alias("is_base"),
         "bucket",
-    ).localCheckpoint(eager=False)
+    )
+    if with_stats:
+        # the stats contract needs the DEDUPED candidate-pair count, which
+        # the verification kernel deliberately never materializes — derive
+        # it from the same bucket table (id columns only; the checkpoint
+        # shares the one Arrow bucketing pass between both consumers)
+        b = b.localCheckpoint(eager=False)
+
+    # kernel pre-filter: strictly below any value Spark's round(x, 6) could
+    # lift to >= threshold (grid point - 5e-7), so the Spark-side exact
+    # filter below remains the semantic gate and the kernel only bounds the
+    # emitted volume
+    pre_threshold = threshold - 1e-6
+
+    def _verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = {
+            "vec_id_a": np.empty(0, dtype=np.int64),
+            "vec_id_b": np.empty(0, dtype=np.int64),
+            "cosine": np.empty(0, dtype=np.float64),
+        }
+        if m < 2:
+            return pd.DataFrame(empty)
+        ids = pdf["vec_id"].to_numpy()
+        base = pdf["is_base"].to_numpy().astype(bool)
+        M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        # block rows so the (blk, m) GEMM output stays ~32 MB of float64
+        blk = max(1, 4_000_000 // m)
+        col = np.arange(m)
+        for i0 in range(0, m, blk):
+            i1 = min(i0 + blk, m)
+            G = M[i0:i1] @ M.T
+            denom = norms[i0:i1, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = G / denom
+            sel = (
+                (col[None, :] > np.arange(i0, i1)[:, None])  # each pair once
+                & (base[i0:i1, None] | base[None, :])  # not both probe-only
+                & (ids[i0:i1, None] != ids[None, :])  # no self pairs
+                & (denom > 0)  # zero-norm -> excluded (NaN parity)
+                & (C >= pre_threshold)
+            )
+            ii, jj = np.nonzero(sel)
+            if len(ii):
+                ia = ids[i0 + ii]
+                ib = ids[jj]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+                out_c.append(C[ii, jj])
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.concatenate(out_a),
+                "vec_id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    verified = b.groupBy("tbl", "bucket").applyInPandas(
+        _verify_bucket, schema="vec_id_a long, vec_id_b long, cosine double"
+    )
+    result = (
+        # a pair verifies in every qualifying bucket; the per-bucket GEMM
+        # values agree to float64 rounding — max is a deterministic pick
+        verified.groupBy("vec_id_a", "vec_id_b")
+        .agg(F.max("cosine").alias("_cos"))
+        .withColumn("cosine", F.round(F.col("_cos"), 6))
+        # zero-norm pairs never reach here (kernel denom guard), but keep
+        # the documented NaN parity with the exact baseline explicit
+        .where((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+    if not with_stats:
+        return result
     probe_side = b.select("tbl", "bucket", F.col("vec_id").alias("vec_id_a"))
     base_side = b.where("is_base").select(
         "tbl", "bucket", F.col("vec_id").alias("vec_id_b")
     )
     cand = (
         probe_side.join(base_side, ["tbl", "bucket"])
-        # probe-vs-base is asymmetric per row; canonicalize so either
-        # direction of a hit yields the same (a < b) pair
         .where(F.col("vec_id_a") != F.col("vec_id_b"))
         .select(
             F.least("vec_id_a", "vec_id_b").alias("vec_id_a"),
@@ -196,38 +286,6 @@ def cosine_near_dup_pairs_lsh(
         )
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
-    if with_stats:
-        cand = cand.localCheckpoint(eager=False)
-    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
-    b2 = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
-
-    # candidate volume in the low-threshold regime is large, so verification
-    # is the hot loop: one Arrow batch of numpy dot products beats the
-    # interpreted per-element HOF aggregate by a wide margin here
-    @F.pandas_udf("double")
-    def cos_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        if len(ea) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.vstack(ea.to_numpy()).astype(np.float64)
-        B = np.vstack(eb.to_numpy()).astype(np.float64)
-        s = (A * B).sum(axis=1) / (
-            np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-        )
-        return pd.Series(s)
-
-    result = (
-        cand.join(a, "vec_id_a")
-        .join(b2, "vec_id_b")
-        .withColumn("cosine", F.round(cos_udf("emb_a", "emb_b"), 6))
-        # zero-norm vectors co-bucket (all sign bits False) and divide 0/0
-        # to numpy NaN, which Spark orders ABOVE any threshold — the exact
-        # baseline's JVM division yields NULL and drops such pairs, so the
-        # NaN guard keeps the documented row-semantics parity
-        .where((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
-        .select("vec_id_a", "vec_id_b", "cosine")
-    )
-    if not with_stats:
-        return result
     stats = (
         cand.agg(F.count("*").alias("n_candidates"))
         .crossJoin(emb.agg(F.count("*").alias("_n")))
