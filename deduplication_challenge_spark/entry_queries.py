@@ -18,8 +18,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+#: fact tables whose scans get the adaptive input spread: the driver ships
+#: each as ONE parquet row group (unsplittable -> a single scan task), which
+#: serializes every downstream narrow stage (gram explodes, regexp
+#: projections, Arrow kernels) onto one core.  Dim tables stay as-is — they
+#: feed broadcast sides where an extra exchange is pure waste.
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _SPREAD_TABLES:
+        from deduplication_challenge_spark.sources.pages import spread_input
+
+        df = spread_input(df)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -38,8 +38,26 @@ def _wrap_html(text: pd.Series) -> pd.Series:
     return text.map(wrap)
 
 
+def spread_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Scale-adaptive fan-out for under-parallel scans (optimization guide
+    §2.5 "input skew": one huge unsplittable file -> repartition immediately
+    after the read).  The driver testdata ships each table as a SINGLE
+    parquet row group, so its scan yields one non-empty task and every
+    downstream narrow stage (Arrow extraction, signature kernels, gram
+    explodes, regexp projections) serializes onto one core.  When the scan
+    has fewer partitions than the session's core count, round-robin to the
+    core count; inputs that already scan wide — the real-scale case, where
+    data spans many files/row groups — pass through unchanged, so this is
+    derived from the input, not a constant tuned to either scale."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def pages_from_documents(

@@ -3,6 +3,7 @@ UDF and the pure-Python oracle produce byte-identical text per url —
 adversarial fixtures (FIXTURES.md §4) plus the whole micro corpus."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from deduplication_challenge_spark.functions.textnorm import extract_text
 from deduplication_challenge_spark.operators.ingest import extract_pages
@@ -55,10 +56,19 @@ def test_driver_documents_derivation(spark):
         pages_from_documents,
     )
 
-    pages = pages_from_documents(spark, "/root/testdata/sf0.001").limit(50)
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    # align on doc_id, not on scan order: the adaptive input spread
+    # round-robins the pages scan, so two independent limit(50)s no longer
+    # draw the same rows
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where("doc_id < 50")
+    )
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").where(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long") < 50
+    )
     raw = {r["doc_id"]: r["text"] for r in docs.collect()}
     extracted = {r["url"]: r["text"] for r in extract_pages(pages).collect()}
+    assert len(raw) > 0
     for doc_id, raw_text in raw.items():
         url = next(u for u in extracted if u.endswith(f"/doc/{doc_id}"))
         assert extracted[url] == expected_text_oracle(raw_text)
