@@ -98,7 +98,12 @@ NGRAM_DF_CAP = 64
 
 
 def _word3grams(d: DataFrame) -> DataFrame:
-    """Distinct (doc_id, gram) rows of word-3-grams over lowered text."""
+    """Distinct (doc_id, gram) rows of word-3-grams over lowered text.
+
+    Per-doc dedup is ROW-LOCAL (array_distinct before the explode): the
+    former explode-then-``.distinct()`` paid a full shuffle of every gram
+    occurrence just to drop within-doc repeats that a codegen'd array op
+    removes in place — the output rows are identical."""
     toks = d.select(
         "doc_id",
         F.filter(F.split(F.lower("text"), r"[ \t\n\x0B\f\r]+"), lambda x: x != "").alias("toks"),
@@ -106,17 +111,19 @@ def _word3grams(d: DataFrame) -> DataFrame:
     return toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 3),
-                lambda i: F.concat_ws(
-                    "\x1f",
-                    F.element_at(F.col("toks"), i + 1),
-                    F.element_at(F.col("toks"), i + 2),
-                    F.element_at(F.col("toks"), i + 3),
-                ),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        "\x1f",
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                        F.element_at(F.col("toks"), i + 3),
+                    ),
+                )
             )
         ).alias("gram"),
-    ).distinct()
+    )
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,11 +387,15 @@ def q_boilerplate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("t"), i + 3),
         ),
     )
-    occ = d.select("doc_id", "source", F.explode(grams).alias("gram"))
-    occ = occ.localCheckpoint(eager=False)  # feeds both the df agg and the tag-join
+    # checkpoint the per-doc gram ARRAYS (no shuffle, one tokenize+gram
+    # build) and derive both consumers from them: the df aggregate dedups
+    # within-doc repeats ROW-LOCALLY via array_distinct — the former
+    # occurrence-row checkpoint + explode-then-distinct paid a full shuffle
+    # of every gram occurrence for the same df counts
+    g = d.select("doc_id", "source", grams.alias("g")).localCheckpoint(eager=False)
+    occ = g.select("doc_id", "source", F.explode("g").alias("gram"))
     hot = (
-        occ.select("doc_id", "gram")
-        .distinct()
+        g.select(F.explode(F.array_distinct("g")).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("n_docs"))
         .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)

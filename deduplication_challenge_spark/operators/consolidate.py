@@ -146,15 +146,34 @@ def consolidate(docs_with_cluster: DataFrame, min_group_size: int = 2) -> DataFr
     # the Arrow kernel: once for the distinct winner ids that SEMI-JOIN-prune
     # the docs build side explicitly (not left to AQE), once for the final
     # text attach.
+    #
+    # The kernel is invoked per BUCKET of clusters, not per cluster: a
+    # per-cluster FlatMapGroupsInPandas pays ~ms of pandas frame overhead
+    # per group, and AQE byte-coalesces the tiny shuffle onto a handful of
+    # tasks (measured 6.1s for 2.9k clusters on 6 tasks at the 50k-doc
+    # bench).  Clusters are hashed into defaultParallelism buckets via an
+    # EXPLICIT repartition (AQE respects user-specified partition counts,
+    # so Python-heavy work keeps its parallelism), and the per-cluster
+    # kernel — still the single shared implementation the oracle uses —
+    # loops inside each bucket call.
+    n_buckets = docs_with_cluster.sparkSession.sparkContext.defaultParallelism
+
+    def _bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            consolidate_cluster_slim_pdf(g)
+            for _, g in pdf.drop(columns=["_b"]).groupby("cluster_id", sort=False)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
     slim = (
         multi.select(
             "cluster_id", "doc_id", "url", "warc_ts", "lang",
             F.length(F.coalesce(F.col("text"), F.lit(""))).alias("text_len"),
         )
-        .groupBy("cluster_id")
-        .applyInPandas(
-            lambda pdf: consolidate_cluster_slim_pdf(pdf), schema=CANONICAL_SLIM_SCHEMA
-        )
+        .withColumn("_b", F.pmod(F.xxhash64("cluster_id"), F.lit(n_buckets)))
+        .repartition(n_buckets, "_b")
+        .groupBy("_b")
+        .applyInPandas(_bucket_kernel, schema=CANONICAL_SLIM_SCHEMA)
         .localCheckpoint(eager=False)
     )
     winner_ids = slim.select(F.col("winner_doc_id").alias("doc_id")).distinct()

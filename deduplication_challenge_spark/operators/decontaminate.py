@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 
 def _gram_hashes(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, text) -> distinct (doc_id, h) word-n-gram hash rows."""
+    """(doc_id, text) -> distinct (doc_id, h) word-n-gram hash rows.
+
+    Within-doc dedup is row-local (array_distinct before the explode) —
+    the former explode-then-``.distinct()`` shuffled every gram occurrence
+    to drop repeats an array op removes in place; output rows identical."""
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
     d = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= n)
     grams = F.transform(
@@ -39,7 +43,7 @@ def _gram_hashes(docs: DataFrame, n: int) -> DataFrame:
             )
         ),
     )
-    return d.select("doc_id", F.explode(grams).alias("h")).distinct()
+    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("h"))
 
 
 def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFrame:

@@ -44,9 +44,12 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, Data
     stats: one row — (buckets, multi_buckets, capped_buckets) so no pair loss
     is ever silent.
     """
+    # lazy checkpoint: the bucket aggregate feeds the edge join AND the
+    # stats frame (collected later for the stage manifest) — one shuffle
+    # instead of re-aggregating the band table for the counters pass
     buckets = bands.groupBy("band_idx", "band_hash").agg(
         F.min("doc_id").alias("root"), F.count("*").alias("bucket_size")
-    )
+    ).localCheckpoint(eager=False)
     multi = buckets.where(F.col("bucket_size") >= 2)
 
     stats = buckets.agg(

@@ -70,7 +70,12 @@ def _salted_chunks(chunks: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, Data
 
     Returns (chunks + _salt column, stats row with chunk_rows / chunk_keys /
     hot_keys / hot_rows)."""
-    counts = chunks.groupBy("chunk_idx", "chunk_val").agg(F.count("*").alias("_n"))
+    # lazy checkpoint: the per-key counts feed the hot-set selection AND the
+    # stats frame (collected later for the stage manifest) — one aggregation
+    # of the chunk table instead of two
+    counts = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count("*").alias("_n")
+    ).localCheckpoint(eager=False)
     stats = counts.agg(
         F.sum("_n").alias("chunk_rows"),
         F.count("*").alias("chunk_keys"),

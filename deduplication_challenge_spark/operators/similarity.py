@@ -219,31 +219,41 @@ def cosine_near_dup_pairs_lsh(
             return pd.DataFrame(empty)
         ids = pdf["vec_id"].to_numpy()
         base = pdf["is_base"].to_numpy().astype(bool)
+        base_pos = np.flatnonzero(base)
+        if base_pos.size == 0:
+            return pd.DataFrame(empty)
         M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.sqrt((M * M).sum(axis=1))
+        # a qualifying pair has >= 1 BASE side, so the GEMM is all-rows x
+        # base-rows (~1/(1+n_probes) of the full m x m flops); base-base
+        # pairs appear in both orientations and keep only pos(i) > pos(j)
+        Mb = M[base_pos]
+        ids_b = ids[base_pos]
+        norms_b = norms[base_pos]
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_c: list[np.ndarray] = []
-        # block rows so the (blk, m) GEMM output stays ~32 MB of float64
-        blk = max(1, 4_000_000 // m)
-        col = np.arange(m)
+        # block rows so the (blk, mb) GEMM output stays ~32 MB of float64
+        blk = max(1, 4_000_000 // base_pos.size)
         for i0 in range(0, m, blk):
             i1 = min(i0 + blk, m)
-            G = M[i0:i1] @ M.T
-            denom = norms[i0:i1, None] * norms[None, :]
+            G = M[i0:i1] @ Mb.T
+            denom = norms[i0:i1, None] * norms_b[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 C = G / denom
+            rows = np.arange(i0, i1)
             sel = (
-                (col[None, :] > np.arange(i0, i1)[:, None])  # each pair once
-                & (base[i0:i1, None] | base[None, :])  # not both probe-only
-                & (ids[i0:i1, None] != ids[None, :])  # no self pairs
+                (ids[i0:i1, None] != ids_b[None, :])  # no self pairs
+                # base-base pairs once; probe-base rows carry the only
+                # orientation of their pair, so they always pass
+                & (~base[i0:i1, None] | (rows[:, None] > base_pos[None, :]))
                 & (denom > 0)  # zero-norm -> excluded (NaN parity)
                 & (C >= pre_threshold)
             )
             ii, jj = np.nonzero(sel)
             if len(ii):
                 ia = ids[i0 + ii]
-                ib = ids[jj]
+                ib = ids_b[jj]
                 out_a.append(np.minimum(ia, ib))
                 out_b.append(np.maximum(ia, ib))
                 out_c.append(C[ii, jj])

