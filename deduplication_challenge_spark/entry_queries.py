@@ -243,7 +243,9 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
-        F.length(F.regexp_replace("text", r"[^0-9]", "")).alias("n_digit_chars"),
+        # count matches directly — regexp_replace built the stripped STRING
+        # per row just to take its length
+        F.regexp_count("text", F.lit("[0-9]")).cast("int").alias("n_digit_chars"),
     )
 
 
@@ -252,9 +254,11 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts + rounded ratios)."""
     d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
     n = F.length("text")
-    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
-    space = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    # count matches directly instead of length(regexp_replace(...)) — the
+    # replace form materialized a stripped copy of every document per ratio
+    alpha = F.regexp_count("text", F.lit("[a-zA-Z]"))
+    digit = F.regexp_count("text", F.lit("[0-9]"))
+    space = F.length("text") - F.length(F.replace("text", F.lit(" "), F.lit("")))
     return d.select(
         "doc_id",
         F.round(alpha / n, 4).alias("alpha_ratio"),

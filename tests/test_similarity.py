@@ -334,3 +334,76 @@ class TestIVF:
         assert 0 < row["candidate_fraction"] < 1.0
         with pytest.raises(ValueError, match="n_lists"):
             cosine_topk_ivf(e, qs, k=3, n_lists=64, sample_size=10)
+
+
+class TestBucketKernelSpecParity:
+    """Pins the r06 bucket-GEMM verification rewrite of
+    cosine_near_dup_pairs_lsh against a pure-numpy restatement of the
+    ORIGINAL candidate spec: a pair is a candidate iff, in some table,
+    one side's (base or probe) bucket equals the other side's BASE
+    bucket; candidates are verified at exact cosine >= threshold rounded
+    to 6dp.  The Spark kernel never materializes the candidate set, so
+    this differential is the direct guard against the rewrite drifting
+    from the spec."""
+
+    def _numpy_spec(self, vectors, threshold, n_planes, n_tables, seed, n_probes):
+        from deduplication_challenge_spark.operators.similarity import _planes_for
+
+        mat = vectors.astype(np.float64)
+        n = len(mat)
+        planes = _planes_for(mat.shape[1], n_planes, n_tables, seed)
+        scores = mat @ planes
+        bits = scores > 0
+        w = (1 << np.arange(n_planes)).astype(np.int64)
+        bk = bits.reshape(n, n_tables, n_planes) @ w
+        marg = np.abs(scores).reshape(n, n_tables, n_planes)
+        order = np.argsort(marg, axis=2)
+        probed = np.stack(
+            [bk]
+            + [bk ^ (1 << order[:, :, p]).astype(np.int64) for p in range(n_probes)],
+            axis=2,
+        )  # (n, T, 1+n_probes)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        out = set()
+        for a in range(n):
+            for b in range(a + 1, n):
+                cand = False
+                for t in range(n_tables):
+                    if bk[b, t] in probed[a, t] or bk[a, t] in probed[b, t]:
+                        cand = True
+                        break
+                if not cand:
+                    continue
+                denom = norms[a] * norms[b]
+                if denom == 0:
+                    continue
+                c = round(float(mat[a] @ mat[b] / denom), 6)
+                if c >= threshold:
+                    out.add((a, b, c))
+        return out
+
+    def test_matches_candidate_spec_oracle(self, spark, emb_df, vectors):
+        from deduplication_challenge_spark.operators.similarity import (
+            cosine_near_dup_pairs_lsh,
+        )
+
+        cfg = dict(threshold=0.35, n_planes=4, n_tables=6, seed=11, n_probes=2)
+        got = {
+            (r["vec_id_a"], r["vec_id_b"], r["cosine"])
+            for r in cosine_near_dup_pairs_lsh(emb_df, **cfg).collect()
+        }
+        want = self._numpy_spec(vectors, **cfg)
+        assert got == want
+
+    def test_zero_probe_config_matches_spec(self, spark, emb_df, vectors):
+        from deduplication_challenge_spark.operators.similarity import (
+            cosine_near_dup_pairs_lsh,
+        )
+
+        cfg = dict(threshold=0.5, n_planes=5, n_tables=3, seed=3, n_probes=0)
+        got = {
+            (r["vec_id_a"], r["vec_id_b"], r["cosine"])
+            for r in cosine_near_dup_pairs_lsh(emb_df, **cfg).collect()
+        }
+        want = self._numpy_spec(vectors, **cfg)
+        assert got == want

@@ -31,7 +31,9 @@ def plan_text(df) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    after_only = "--after-only" in sys.argv  # keep round-start *_before.txt
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from deduplication_challenge_spark import entry_queries as eq
     from deduplication_challenge_spark.session import build_session
     from deduplication_challenge_spark.sources import pages
@@ -42,10 +44,11 @@ def main() -> None:
 
     real_spread = pages.spread_input
     for name in QUERIES:
-        pages.spread_input = lambda df, min_partitions=None: df  # pre-r06 tree
-        with open(f"{outdir}/{name}_before.txt", "w") as f:
-            f.write(plan_text(eq.QUERIES[name](spark, sf_dir)))
-        pages.spread_input = real_spread
+        if not after_only:
+            pages.spread_input = lambda df, min_partitions=None: df  # pre-r06 tree
+            with open(f"{outdir}/{name}_before.txt", "w") as f:
+                f.write(plan_text(eq.QUERIES[name](spark, sf_dir)))
+            pages.spread_input = real_spread
         with open(f"{outdir}/{name}_after.txt", "w") as f:
             f.write(plan_text(eq.QUERIES[name](spark, sf_dir)))
         print("dumped", name)
