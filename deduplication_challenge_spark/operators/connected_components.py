@@ -120,8 +120,24 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["c"]), int(row["h"])
 
 
+# When the pre-contracted edge set fits ONE task, the global fixpoint is
+# cheaper as a single union-find pass than as star-join rounds: each
+# large/small-star iteration costs ~8 shuffle stages + an eager checkpoint +
+# a convergence collect, all stage-floor-bound on a contracted graph that is
+# already tiny (<= one row per non-singleton node).  The limit is derived
+# from executor MEMORY, not core count: 5M edges = ~80 MB of int64 pairs,
+# ~3x that as the kernel's peak working set (concatenate + unique sort) —
+# far under any sane executor heap.  Past the limit (the 100 TB case, where
+# the contracted graph is ~#non-singleton nodes) the star loop runs exactly
+# as before, so nothing is tuned to local mode.
+SINGLE_TASK_EDGE_LIMIT = 5_000_000
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50, checkpoint_mode: str = "local"
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint_mode: str = "local",
+    single_task_edge_limit: int = SINGLE_TASK_EDGE_LIMIT,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(doc_id, cluster_id).
 
@@ -176,22 +192,41 @@ def connected_components(
             checkpoint_mode,
             eager=True,
         )
-        prev_sig = None
-        for it in range(max_iterations):
+        # size-adaptive finish: the eager checkpoint above makes this count
+        # a metadata read, not a recompute
+        if cur.count() <= single_task_edge_limit:
+            # whole contracted graph through the SAME union-find kernel in
+            # one partition — exact min-root components in a single pass,
+            # identical to the star fixpoint by the kernel's contract
+            # (hooks always point larger roots at smaller ones, so every
+            # non-root maps to its component minimum)
             if reliable:
-                new_dir = _set_iter_dir(it + 1)
-            cur = stage_checkpoint(_small_star(_large_star(cur)), checkpoint_mode, eager=True)
-            if reliable:
-                fs_delete(spark, prev_dir)  # superseded; cur no longer reads it
-                prev_dir = new_dir
-            sig = _signature(cur)
-            if sig == prev_sig:
-                break
-            prev_sig = sig
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iterations} iterations"
+                new_dir = _set_iter_dir(1)
+            cur = stage_checkpoint(
+                _local_contract(cur.repartition(1)), checkpoint_mode, eager=True
             )
+            if reliable:
+                fs_delete(spark, prev_dir)
+                prev_dir = new_dir
+        else:
+            prev_sig = None
+            for it in range(max_iterations):
+                if reliable:
+                    new_dir = _set_iter_dir(it + 1)
+                cur = stage_checkpoint(
+                    _small_star(_large_star(cur)), checkpoint_mode, eager=True
+                )
+                if reliable:
+                    fs_delete(spark, prev_dir)  # superseded; cur no longer reads it
+                    prev_dir = new_dir
+                sig = _signature(cur)
+                if sig == prev_sig:
+                    break
+                prev_sig = sig
+            else:
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iterations} iterations"
+                )
     except BaseException:
         if reliable:
             # the failed run's checkpoints are garbage — delete the whole

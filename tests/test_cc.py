@@ -101,3 +101,49 @@ def test_numpy_contract_kernel_matches_union_find():
         want = _oracle_cc(list(zip(src.tolist(), dst.tolist())))
         want_nonroot = {k: v for k, v in want.items() if k != v}
         assert got == want_nonroot, trial
+
+
+def test_single_task_finish_matches_star_loop(spark):
+    """The size-gated one-pass finish (default) and the alternating-star
+    fixpoint loop (forced via single_task_edge_limit=0) must produce
+    identical assignments on a randomized multi-component graph."""
+    import random
+
+    rng = random.Random(13)
+    edges = []
+    base = 0
+    for comp in range(40):  # mixed component sizes incl. chains and stars
+        size = rng.randint(2, 25)
+        nodes = [base + i for i in range(size)]
+        base += size + rng.randint(1, 5)  # gaps -> singleton ids unused
+        rng.shuffle(nodes)
+        for a, b in zip(nodes, nodes[1:]):
+            edges.append((a, b) if rng.random() < 0.5 else (b, a))
+        edges.append((nodes[0], nodes[-1]))  # a cycle edge
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    gated = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    looped = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, single_task_edge_limit=0).collect()
+    }
+    assert gated == looped
+    assert gated == _oracle_cc(edges)
+
+
+def test_single_task_finish_reliable_mode(spark):
+    """Gated finish under checkpoint_mode='reliable' restores the session
+    checkpoint dir and matches the local-mode output."""
+    edges = [(1, 2), (2, 3), (10, 11), (12, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_mode="local").collect()
+    }
+    reliable = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_mode="reliable").collect()
+    }
+    assert local == reliable == _oracle_cc(edges)
