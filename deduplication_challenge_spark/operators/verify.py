@@ -39,7 +39,16 @@ def verify_pairs(
     filter runs inside the join's codegen stage so rejected pairs never
     materialize downstream.
     """
-    sigs = signatures.select("doc_id", "minhash")
+    # Shuffle-payload compression (guide §2.3 "shuffle fewer bytes —
+    # narrower types"): minhash values live in [0, p] with p = 2^31 - 1 =
+    # int32 max, so the join-side projection casts the int64 array to
+    # array<int> — every positional equality, and therefore jaccard_est,
+    # is bit-identical while the signature payload that crosses BOTH join
+    # shuffles halves (~1 KB -> ~0.5 KB per row at num_perm=128).  The
+    # stored signatures table keeps its int64 schema.
+    sigs = signatures.select(
+        "doc_id", F.transform("minhash", lambda x: x.cast("int")).alias("minhash")
+    )
     s1 = sigs.withColumnRenamed("doc_id", "src").withColumnRenamed("minhash", "sig_src")
     s2 = sigs.withColumnRenamed("doc_id", "dst").withColumnRenamed("minhash", "sig_dst")
     # LOUD length guard: mismatched signature widths (e.g. an incremental
