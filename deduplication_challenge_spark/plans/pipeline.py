@@ -454,11 +454,34 @@ class DedupPipeline:
             lambda df, rows: {"pairs_verified": rows},
         )
 
+        def build_cc() -> DataFrame:
+            # Right-size CC's first contraction from the manifest (free row
+            # count of the materialized verify table): fewer input
+            # partitions contract better — a node contributes one output
+            # row per partition it appears in — so coalesce the
+            # parquet-backed scan down to the fewest tasks that still
+            # respect the kernel's per-task edge bound.  coalesce (no
+            # shuffle) is safe here precisely because the edges are a
+            # stage table, not a live plan; at real scale the needed task
+            # count exceeds the scan's partitioning and this is a no-op.
+            # Without this, the contracted-set size — and CC's cost —
+            # varied with the session's shuffle-partition count.
+            import math
+
+            from deduplication_challenge_spark.operators.connected_components import (
+                SINGLE_TASK_EDGE_LIMIT,
+            )
+
+            e = verified.select("src", "dst")
+            n_edges = report.stages["verify"].rows
+            k = max(1, math.ceil(n_edges / SINGLE_TASK_EDGE_LIMIT))
+            if k < e.rdd.getNumPartitions():
+                e = e.coalesce(k)
+            return connected_components(e, checkpoint_mode=cfg.checkpoint_mode)
+
         assignments, fp = self._run_stage(
             report, "cc", fp, "edges",
-            lambda: connected_components(
-                verified.select("src", "dst"), checkpoint_mode=cfg.checkpoint_mode
-            ),
+            build_cc,
             lambda df, rows: {"nodes_clustered": rows},
         )
 
